@@ -1,0 +1,178 @@
+"""Typed configuration for the MolNexTR-TPU framework.
+
+The reference spreads its configuration across two argparse definitions that
+must be kept in sync (`/root/reference/main.py:36-120` and
+`/root/reference/MolNexTR/model.py:50-81`) and persists only four keys into
+the checkpoint (`main.py:397`).  Here a single set of dataclasses is the one
+source of truth; the full config serializes into every checkpoint.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+
+@dataclass
+class EncoderConfig:
+    """Image encoder configuration.
+
+    `name` selects the backbone family the same way the reference's
+    ``--encoder`` flag does (`components.py:110-134`): ``swin_*`` builds the
+    windowed vision transformer, ``convnext*`` the ConvNeXt CNN.
+    """
+
+    name: str = "swin_base"
+    # Swin-base: patch 4, window 12, dim 128, depths (2,2,18,2), heads
+    # (4,8,16,32) at 384x384 (`models/transformers.py:547-551`).
+    patch_size: int = 4
+    window_size: int = 12
+    embed_dim: int = 128
+    depths: Tuple[int, ...] = (2, 2, 18, 2)
+    num_heads: Tuple[int, ...] = (4, 8, 16, 32)
+    mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.1
+    ape: bool = False  # absolute position embedding
+    patch_norm: bool = True
+    use_remat: bool = True  # jax.checkpoint per block (ref: --use_checkpoint)
+    # ConvNeXt alternative backbone
+    convnext_depths: Tuple[int, ...] = (3, 3, 27, 3)
+    convnext_dims: Tuple[int, ...] = (128, 256, 512, 1024)
+
+    @property
+    def num_features(self) -> int:
+        if self.name.startswith("swin"):
+            return int(self.embed_dim * 2 ** (len(self.depths) - 1))
+        return int(self.convnext_dims[-1])
+
+
+@dataclass
+class DecoderConfig:
+    """Autoregressive decoder + graph head configuration.
+
+    Matches the reference transformer options (`main.py:57-64`,
+    `model.py:62-68`): 6 layers x 256 dim x 8 heads, GELU FFN of 4x width,
+    pre-norm layers with a final LayerNorm.
+    """
+
+    num_layers: int = 6
+    hidden_size: int = 256
+    attn_heads: int = 8
+    ffn_mult: int = 4
+    hidden_dropout: float = 0.1
+    attn_dropout: float = 0.1
+    enc_pos_emb: bool = False  # optional 144-slot encoder pos emb (`components.py:187`)
+    max_len: int = 480  # FORMAT_INFO cap (`utils.py:24-25`)
+
+
+@dataclass
+class DataConfig:
+    input_size: int = 384
+    coord_bins: int = 64
+    sep_xy: bool = True
+    continuous_coords: bool = False
+    formats: Tuple[str, ...] = ("chartok_coords", "edges")
+    vocab_file: Optional[str] = None
+    mask_ratio: float = 0.0
+    mol_augment: bool = True
+    include_condensed: bool = True
+    shuffle_nodes: bool = False
+    pseudo_coords: bool = False
+    augment: bool = True
+    rotate: bool = True
+    max_atoms: int = 128  # static pad for edge matrices / atom indices
+
+
+@dataclass
+class TrainConfig:
+    seed: int = 42
+    epochs: int = 40
+    batch_size: int = 256  # global batch across the mesh
+    encoder_lr: float = 4e-4
+    decoder_lr: float = 4e-4
+    weight_decay: float = 1e-6
+    max_grad_norm: float = 5.0
+    scheduler: str = "cosine"  # or "constant"
+    warmup_ratio: float = 0.02
+    label_smoothing: float = 0.1
+    grad_accum_steps: int = 1
+    save_mode: str = "best"  # best | all | last
+    save_path: str = "output/"
+    num_workers: int = 8
+    train_steps_per_epoch: int = -1
+    bf16: bool = True
+    mesh_shape: Tuple[int, ...] = (-1,)  # -1 => all devices on the data axis
+    mesh_axes: Tuple[str, ...] = ("data",)
+
+
+@dataclass
+class DecodeConfig:
+    beam_size: int = 1
+    n_best: int = 1
+    min_length: int = 1
+    batch_size: int = 32
+    compute_confidence: bool = False
+    keep_main_molecule: bool = False
+    molblock: bool = False
+
+
+@dataclass
+class Config:
+    encoder: EncoderConfig = field(default_factory=EncoderConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+
+    # -- serialization ----------------------------------------------------
+    def to_dict(self) -> Dict[str, Any]:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        def build(tp, sub):
+            fields = {f.name: f for f in dataclasses.fields(tp)}
+            kwargs = {}
+            for k, v in sub.items():
+                if k not in fields:
+                    continue
+                ft = fields[k].type
+                if isinstance(v, list) and "Tuple" in str(ft):
+                    v = tuple(v)
+                kwargs[k] = v
+            return tp(**kwargs)
+
+        return cls(
+            encoder=build(EncoderConfig, d.get("encoder", {})),
+            decoder=build(DecoderConfig, d.get("decoder", {})),
+            data=build(DataConfig, d.get("data", {})),
+            train=build(TrainConfig, d.get("train", {})),
+            decode=build(DecodeConfig, d.get("decode", {})),
+        )
+
+    @classmethod
+    def from_json(cls, s: str) -> "Config":
+        return cls.from_dict(json.loads(s))
+
+
+def tiny_test_config() -> Config:
+    """A miniature config for fast unit tests and the multichip dry-run."""
+    cfg = Config()
+    cfg.encoder = EncoderConfig(
+        name="swin_tiny_test",
+        patch_size=4,
+        window_size=4,
+        embed_dim=16,
+        depths=(1, 1),
+        num_heads=(2, 2),
+        use_remat=False,
+    )
+    cfg.decoder = DecoderConfig(num_layers=2, hidden_size=32, attn_heads=2, max_len=24)
+    cfg.data = DataConfig(input_size=32, coord_bins=8, max_atoms=8)
+    cfg.train = TrainConfig(batch_size=8, bf16=False)
+    return cfg
