@@ -1,0 +1,116 @@
+"""Greedy constrained decoding as a single compiled XLA loop.
+
+The reference decodes with a python per-token loop that rebuilds the grammar
+mask in python each step and dynamically shrinks the batch as sequences
+finish (`/root/reference/MolNexTR/components.py:284-319`,
+`greedy_search.py:76-128`).  Neither pattern is expressible in XLA, so here:
+
+* the whole decode is one ``lax.while_loop`` with static shapes, exiting
+  early when every lane is finished;
+* the grammar constraint is two table gathers (precomputed by
+  ``NodeTokenizer.constraint_tables``) applied in-graph, numerically
+  identical to the reference's ``masked_fill(-10000)``;
+* finished lanes keep looping but are frozen via masking (writes become
+  PAD, scores stop accumulating), replacing the reference's row compaction.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molnextr_tpu.tokenization import EOS_ID, PAD_ID, SOS_ID
+
+
+class GreedyState(NamedTuple):
+    step: jnp.ndarray  # scalar int32
+    tokens: jnp.ndarray  # (B,) current input token
+    cache: Dict[str, jnp.ndarray]
+    seq: jnp.ndarray  # (B, max_len) generated tokens (EOS included)
+    log_scores: jnp.ndarray  # (B, max_len) per-token log prob
+    hiddens: jnp.ndarray  # (B, max_len, D) final-layer hidden per step
+    finished: jnp.ndarray  # (B,) bool
+
+
+def greedy_decode(
+    step_fn,
+    init_cache_fn,
+    memory: jnp.ndarray,
+    token_class: jnp.ndarray,
+    class_mask: jnp.ndarray,
+    max_len: int,
+    hidden_size: int,
+    min_len: int = 1,
+    use_constraint: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Run constrained greedy decoding.
+
+    step_fn(tokens (B,), pos, cache) -> (logits (B, V), hidden (B, D), cache)
+    init_cache_fn(memory) -> cache
+    Returns (seq (B, max_len), avg_scores (B,), token_log_scores (B, max_len),
+    hiddens (B, max_len, D)); sequences end with EOS then PAD.
+    """
+    b = memory.shape[0]
+    cache = init_cache_fn(memory)
+    dtype = memory.dtype
+
+    state = GreedyState(
+        step=jnp.asarray(0, jnp.int32),
+        tokens=jnp.full((b,), SOS_ID, jnp.int32),
+        cache=cache,
+        seq=jnp.full((b, max_len), PAD_ID, jnp.int32),
+        log_scores=jnp.zeros((b, max_len), jnp.float32),
+        hiddens=jnp.zeros((b, max_len, hidden_size), dtype),
+        finished=jnp.zeros((b,), bool),
+    )
+
+    def cond(s: GreedyState):
+        return (s.step < max_len) & (~jnp.all(s.finished))
+
+    def body(s: GreedyState) -> GreedyState:
+        logits, hidden, cache = step_fn(s.tokens, s.step, s.cache)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if use_constraint:
+            mask = class_mask[token_class[s.tokens]]  # (B, V) bool
+            logp = jnp.where(mask, logp - 10000.0, logp)
+        # forbid EOS until min_len tokens were generated
+        logp = jnp.where(
+            (s.step < min_len) & (jnp.arange(logp.shape[-1]) == EOS_ID)[None],
+            -1e20,
+            logp,
+        )
+        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+        score = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        newly_finished = nxt == EOS_ID
+        nxt = jnp.where(s.finished, PAD_ID, nxt)
+        score = jnp.where(s.finished, 0.0, score)
+        seq = jax.lax.dynamic_update_slice(s.seq, nxt[:, None], (0, s.step))
+        log_scores = jax.lax.dynamic_update_slice(
+            s.log_scores, score[:, None], (0, s.step)
+        )
+        hiddens = jax.lax.dynamic_update_slice(
+            s.hiddens, hidden.astype(s.hiddens.dtype)[:, None], (0, s.step, 0)
+        )
+        return GreedyState(
+            step=s.step + 1,
+            tokens=nxt,
+            cache=cache,
+            seq=seq,
+            log_scores=log_scores,
+            hiddens=hiddens,
+            finished=s.finished | newly_finished,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    # average-of-token-scores confidence (`greedy_search.py:109`): mean over
+    # generated tokens up to and including EOS.  Finished lanes only ever
+    # write PAD, so non-PAD positions are exactly the generated prefix.
+    gen_mask = final.seq != PAD_ID
+    counts = jnp.maximum(gen_mask.sum(axis=1), 1)
+    avg = jnp.exp((final.log_scores * gen_mask).sum(axis=1) / counts)
+    return final.seq, avg, final.log_scores, final.hiddens

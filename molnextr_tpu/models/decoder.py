@@ -1,0 +1,254 @@
+"""Autoregressive transformer decoder (Flax).
+
+Architecture matches the reference's ONMT-derived decoder
+(`/root/reference/MolNexTR/models/decoder.py:162-487`): pre-norm layers of
+[LN -> masked self-attn -> +res], [LN -> cross-attn over the encoder memory],
+[pre-norm GELU FFN with its own residual], and a final LayerNorm
+(`decoder.py:470`).  Word embeddings are scaled by sqrt(dim) and summed with
+sinusoidal positions (`models/embedding.py:42-61`).
+
+Two execution modes:
+
+* :meth:`Decoder.__call__` -- full-sequence teacher forcing (training).
+* :meth:`Decoder.step`     -- single-token decode against a preallocated KV
+  cache, the XLA-friendly replacement for the reference's per-layer python
+  dict cache (`decoder.py:431-487`).  The cache has static shape
+  ``(B, L, H, max_len, head_dim)`` and is updated with dynamic_update_slice,
+  so the whole decode loop compiles once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from molnextr_tpu.config import DecoderConfig
+
+
+def sinusoidal_positions(max_len: int, dim: int) -> np.ndarray:
+    """Classic transformer PE table (`embedding.py:26-40`)."""
+    pe = np.zeros((max_len, dim), dtype=np.float32)
+    position = np.arange(max_len)[:, None].astype(np.float32)
+    div = np.exp(np.arange(0, dim, 2).astype(np.float32) * -(np.log(10000.0) / dim))
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+class MHA(nn.Module):
+    """Multi-head attention with optional KV-cache semantics."""
+
+    num_heads: int
+    hidden: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        h = self.hidden
+        self.q_proj = nn.Dense(h, dtype=self.dtype, name="q")
+        self.k_proj = nn.Dense(h, dtype=self.dtype, name="k")
+        self.v_proj = nn.Dense(h, dtype=self.dtype, name="v")
+        self.out = nn.Dense(h, dtype=self.dtype, name="out")
+
+    def _split(self, x):
+        b, t, _ = x.shape
+        hd = self.hidden // self.num_heads
+        return x.reshape(b, t, self.num_heads, hd).transpose(0, 2, 1, 3)
+
+    def _merge(self, x):
+        b, h, t, hd = x.shape
+        return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+    def __call__(self, q_in, k_in, v_in, mask=None, deterministic=True):
+        """mask: bool array broadcastable to (B, 1, Tq, Tk); True = masked."""
+        q = self._split(self.q_proj(q_in))
+        k = self._split(self.k_proj(k_in))
+        v = self._split(self.v_proj(v_in))
+        return self.attend(q, k, v, mask, deterministic)
+
+    def project_kv(self, x):
+        return self._split(self.k_proj(x)), self._split(self.v_proj(x))
+
+    def project_q(self, x):
+        return self._split(self.q_proj(x))
+
+    def attend(self, q, k, v, mask=None, deterministic=True):
+        hd = self.hidden // self.num_heads
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
+        if mask is not None:
+            scores = jnp.where(mask, jnp.asarray(-1e9, scores.dtype), scores)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+        if self.dropout > 0 and not deterministic:
+            probs = nn.Dropout(rate=self.dropout, deterministic=False)(probs)
+        ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
+        return self.out(self._merge(ctx))
+
+
+class FeedForward(nn.Module):
+    """ONMT PositionwiseFeedForward: pre-norm + internal residual."""
+
+    hidden: int
+    ffn: int
+    dropout: float = 0.0
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic=True):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="ln")(x)
+        y = nn.Dense(self.ffn, dtype=self.dtype, name="w1")(y)
+        y = jax.nn.gelu(y, approximate=False)
+        y = nn.Dropout(rate=self.dropout, deterministic=deterministic)(y)
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="w2")(y)
+        y = nn.Dropout(rate=self.dropout, deterministic=deterministic)(y)
+        return y + x
+
+
+class DecoderLayer(nn.Module):
+    cfg: DecoderConfig
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.ln1 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.self_attn = MHA(c.attn_heads, c.hidden_size, c.attn_dropout, self.dtype)
+        self.ln2 = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.cross_attn = MHA(c.attn_heads, c.hidden_size, c.attn_dropout, self.dtype)
+        self.ffn = FeedForward(
+            c.hidden_size, c.hidden_size * c.ffn_mult, c.hidden_dropout, self.dtype
+        )
+        self.drop = nn.Dropout(rate=c.hidden_dropout)
+
+    def __call__(self, x, memory, self_mask=None, mem_mask=None, deterministic=True):
+        xn = self.ln1(x)
+        q = self.self_attn(xn, xn, xn, self_mask, deterministic)
+        q = self.drop(q, deterministic=deterministic) + x
+        mid = self.cross_attn(self.ln2(q), memory, memory, mem_mask, deterministic)
+        return self.ffn(self.drop(mid, deterministic=deterministic) + q, deterministic)
+
+    # -- cached single-step path -----------------------------------------
+    def init_cache(self, memory):
+        """Precompute cross-attention K/V once per sequence."""
+        mk, mv = self.cross_attn.project_kv(self.ln_memory_identity(memory))
+        return mk, mv
+
+    def ln_memory_identity(self, memory):
+        # cross-attn keys/values are computed from the raw memory bank (the
+        # reference's context_attn consumes memory_bank directly,
+        # `decoder.py:269-276`)
+        return memory
+
+    def step(self, x, pos, self_k, self_v, mem_k, mem_v, step_mask, deterministic=True):
+        """One-token forward.  x: (B, 1, D); caches carry full max_len."""
+        xn = self.ln1(x)
+        q = self.self_attn.project_q(xn)
+        k_new, v_new = self.self_attn.project_kv(xn)
+        # write current position into the cache
+        self_k = jax.lax.dynamic_update_slice(self_k, k_new, (0, 0, pos, 0))
+        self_v = jax.lax.dynamic_update_slice(self_v, v_new, (0, 0, pos, 0))
+        attn_out = self.self_attn.attend(q, self_k, self_v, step_mask, deterministic)
+        q_res = attn_out + x
+        qn = self.ln2(q_res)
+        qq = self.cross_attn.project_q(qn)
+        mid = self.cross_attn.attend(qq, mem_k, mem_v, None, deterministic)
+        out = self.ffn(mid + q_res, deterministic)
+        return out, self_k, self_v
+
+
+class Decoder(nn.Module):
+    """Full decoder stack with embeddings and final LayerNorm."""
+
+    cfg: DecoderConfig
+    vocab_size: int
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        c = self.cfg
+        self.embed = nn.Embed(self.vocab_size, c.hidden_size, dtype=self.dtype,
+                              embedding_init=nn.initializers.normal(0.02))
+        self.pe = jnp.asarray(sinusoidal_positions(c.max_len + 8, c.hidden_size))
+        self.layers = [DecoderLayer(c, self.dtype, name=f"layer_{i}") for i in range(c.num_layers)]
+        self.final_ln = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
+        self.emb_drop = nn.Dropout(rate=c.hidden_dropout)
+        # vocabulary projection (`components.py:226`)
+        self.output = nn.Dense(self.vocab_size, dtype=self.dtype)
+
+    def embed_tokens(self, tokens, start_pos):
+        """tokens: (B, T) int32; positions start at start_pos."""
+        d = self.cfg.hidden_size
+        emb = self.embed(tokens) * jnp.sqrt(d).astype(self.dtype)
+        t = tokens.shape[1]
+        pe = jax.lax.dynamic_slice_in_dim(self.pe, start_pos, t, axis=0)
+        return emb + pe.astype(self.dtype)[None]
+
+    def __call__(self, tokens, memory, pad_mask=None, deterministic=True):
+        """Teacher-forced full-sequence forward.
+
+        tokens: (B, T) target ids (starting with SOS).
+        memory: (B, M, D) transformed encoder output.
+        pad_mask: (B, T) bool, True at padding positions.
+        Returns final hidden states (B, T, D) after the last LayerNorm.
+        """
+        b, t = tokens.shape
+        x = self.emb_drop(self.embed_tokens(tokens, 0), deterministic=deterministic)
+        causal = jnp.triu(jnp.ones((t, t), dtype=bool), k=1)[None, None]
+        self_mask = causal
+        if pad_mask is not None:
+            self_mask = causal | pad_mask[:, None, None, :]
+        for layer in self.layers:
+            x = layer(x, memory, self_mask, None, deterministic)
+        return self.final_ln(x)
+
+    def init_cache(self, memory) -> Dict[str, jnp.ndarray]:
+        """Build the static-shape decode cache.
+
+        Returns dict of stacked per-layer arrays:
+          self_k/self_v: (L, B, H, max_len, hd)
+          mem_k/mem_v:   (L, B, H, M, hd)
+        """
+        c = self.cfg
+        b = memory.shape[0]
+        h = c.attn_heads
+        hd = c.hidden_size // h
+        mem_k, mem_v = [], []
+        for layer in self.layers:
+            mk, mv = layer.cross_attn.project_kv(memory)
+            mem_k.append(mk)
+            mem_v.append(mv)
+        zeros = jnp.zeros((c.num_layers, b, h, c.max_len, hd), dtype=self.dtype)
+        return {
+            "self_k": zeros,
+            "self_v": jnp.zeros_like(zeros),
+            "mem_k": jnp.stack(mem_k),
+            "mem_v": jnp.stack(mem_v),
+        }
+
+    def step(self, token, pos, cache, deterministic=True):
+        """Single decode step.
+
+        token: (B,) int32 current input token; pos: scalar int position.
+        Returns (hidden (B, D), new_cache).
+        """
+        c = self.cfg
+        x = self.embed_tokens(token[:, None], pos)
+        # mask future cache positions: (1, 1, 1, max_len)
+        positions = jnp.arange(c.max_len)[None, None, None, :]
+        step_mask = positions > pos
+        new_self_k, new_self_v = [], []
+        for i, layer in enumerate(self.layers):
+            x, sk, sv = layer.step(
+                x, pos, cache["self_k"][i], cache["self_v"][i],
+                cache["mem_k"][i], cache["mem_v"][i], step_mask, deterministic,
+            )
+            new_self_k.append(sk)
+            new_self_v.append(sv)
+        cache = {
+            "self_k": jnp.stack(new_self_k),
+            "self_v": jnp.stack(new_self_v),
+            "mem_k": cache["mem_k"],
+            "mem_v": cache["mem_v"],
+        }
+        return self.final_ln(x)[:, 0], cache

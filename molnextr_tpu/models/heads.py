@@ -1,0 +1,72 @@
+"""Output heads: vocabulary projection and the pairwise bond (edge) head.
+
+The edge head mirrors ``GraphPredictor`` (`/root/reference/MolNexTR/
+components.py:350-400`): decoder hidden states gathered at atom-token
+positions, expanded to all pairs, concatenated and pushed through a 2-layer
+GELU MLP onto 7 bond classes (none/single/double/triple/aromatic/wedge/dash).
+Symmetrization of the predicted probabilities is a vectorized jnp op instead
+of the reference's python triple loop (`components.py:383-400`).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class GraphPredictor(nn.Module):
+    hidden: int
+    coords: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states, indices, valid_mask=None):
+        """hidden_states: (B, T, D); indices: (B, K) int32 positions.
+
+        Returns dict with ``edges`` logits (B, 7, K, K) and optionally
+        ``coords`` (B, K, 2).
+        """
+        b, t, d = hidden_states.shape
+        gathered = jnp.take_along_axis(
+            hidden_states, jnp.clip(indices, 0, t - 1)[..., None], axis=1
+        )  # (B, K, D)
+        k = gathered.shape[1]
+        hh = jnp.concatenate(
+            [
+                jnp.broadcast_to(gathered[:, :, None, :], (b, k, k, d)),
+                jnp.broadcast_to(gathered[:, None, :, :], (b, k, k, d)),
+            ],
+            axis=-1,
+        )
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="mlp1")(hh)
+        y = jax.nn.gelu(y, approximate=False)
+        edges = nn.Dense(7, dtype=self.dtype, name="mlp2")(y)  # (B, K, K, 7)
+        out = {"edges": edges.transpose(0, 3, 1, 2)}
+        if self.coords:
+            cy = nn.Dense(self.hidden, dtype=self.dtype, name="coords1")(gathered)
+            cy = jax.nn.gelu(cy, approximate=False)
+            out["coords"] = nn.Dense(2, dtype=self.dtype, name="coords2")(cy)
+        return out
+
+
+def symmetrize_edge_probs(prob: jnp.ndarray) -> jnp.ndarray:
+    """Symmetrize (K, K, 7) or (B, K, K, 7) edge probabilities.
+
+    Classes 0-4 are symmetric; wedge (5) and dash (6) swap under transpose
+    (an i->j wedge is a j->i dash), exactly the math of
+    `components.py:389-397`.
+    """
+    pt = jnp.swapaxes(prob, -2, -3)  # transpose the K x K dims
+    sym = (prob[..., :5] + pt[..., :5]) / 2
+    w = (prob[..., 5] + pt[..., 6]) / 2
+    d = (prob[..., 6] + pt[..., 5]) / 2
+    return jnp.concatenate([sym, w[..., None], d[..., None]], axis=-1)
+
+
+def edge_prediction(prob: jnp.ndarray):
+    """argmax class + its probability after symmetrization."""
+    sym = symmetrize_edge_probs(prob)
+    return jnp.argmax(sym, axis=-1), jnp.max(sym, axis=-1)
