@@ -1,0 +1,118 @@
+"""Benchmark: end-to-end inference throughput on one TPU chip.
+
+Measures the full deployed device path — Swin-base encode, 480-step
+KV-cached grammar-constrained greedy decode, pairwise edge head — at the
+reference's training batch size (256), bf16.  The decode is forced to run
+all 480 steps (min_len = max_len) so the number is a worst-case lower bound
+independent of model weights.
+
+Baseline: the driver target is 1500 images/sec on a v5e-8
+(/root/repo/BASELINE.json north_star), i.e. 187.5 img/s/chip;
+``vs_baseline`` is measured img/s/chip divided by that.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+BASELINE_IMG_PER_SEC_PER_CHIP = 1500.0 / 8.0
+
+
+def main() -> None:
+    p = argparse.ArgumentParser()
+    p.add_argument("--batch", type=int, default=256)
+    p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--decode-len", type=int, default=480)
+    args = p.parse_args()
+
+    from molnextr_tpu.config import Config
+    from molnextr_tpu.decoding.greedy import greedy_decode
+    from molnextr_tpu.models.model import MolNexTRModel
+    from molnextr_tpu.tokenization import get_tokenizer
+
+    cfg = Config()
+    cfg.decoder.max_len = args.decode_len
+    tokenizers = get_tokenizer(cfg.data)
+    vocab_sizes = {f: len(t) for f, t in tokenizers.items()}
+    model = MolNexTRModel(cfg, vocab_sizes, dtype=jnp.bfloat16)
+    fmt = "chartok_coords"
+    tok = tokenizers[fmt]
+    tc, cm = tok.constraint_tables()
+    token_class = jnp.asarray(tc)
+    class_mask = jnp.asarray(cm)
+
+    s = cfg.data.input_size
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.standard_normal((args.batch, s, s, 3), dtype=np.float32))
+    refs = {
+        fmt: jnp.ones((1, 8), jnp.int32),
+        "atom_indices": jnp.zeros((1, cfg.data.max_atoms), jnp.int32),
+        "edges": jnp.zeros((1, cfg.data.max_atoms, cfg.data.max_atoms), jnp.int32),
+    }
+    params = jax.jit(model.init, static_argnames=("deterministic",))(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        np.zeros((1, s, s, 3), np.float32),
+        refs,
+        deterministic=True,
+    )
+
+    max_atoms = cfg.data.max_atoms
+
+    def infer(params, images):
+        memory = model.apply(params, images, method=MolNexTRModel.encode)
+
+        def step_fn(tokens, pos, cache):
+            return model.apply(
+                params, fmt, tokens, pos, cache, method=MolNexTRModel.decode_step
+            )
+
+        def init_cache_fn(mem):
+            return model.apply(params, fmt, mem, method=MolNexTRModel.init_cache)
+
+        seq, avg, scores, hiddens = greedy_decode(
+            step_fn,
+            init_cache_fn,
+            memory,
+            token_class,
+            class_mask,
+            cfg.decoder.max_len,
+            cfg.decoder.hidden_size,
+            min_len=cfg.decoder.max_len,  # force worst-case full-length decode
+        )
+        indices = jnp.tile(jnp.arange(max_atoms, dtype=jnp.int32)[None], (images.shape[0], 1))
+        edges = model.apply(params, hiddens, indices, method=MolNexTRModel.predict_edges)
+        return seq, avg, edges["edges"]
+
+    jit_infer = jax.jit(infer)
+    # warmup / compile
+    out = jit_infer(params, images)
+    jax.block_until_ready(out)
+
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = jit_infer(params, images)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / args.iters
+
+    img_per_sec = args.batch / dt
+    print(
+        json.dumps(
+            {
+                "metric": "inference_images_per_sec_per_chip",
+                "value": round(img_per_sec, 2),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_sec / BASELINE_IMG_PER_SEC_PER_CHIP, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

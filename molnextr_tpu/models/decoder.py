@@ -53,6 +53,7 @@ class MHA(nn.Module):
         self.k_proj = nn.Dense(h, dtype=self.dtype, name="k")
         self.v_proj = nn.Dense(h, dtype=self.dtype, name="v")
         self.out = nn.Dense(h, dtype=self.dtype, name="out")
+        self.attn_drop = nn.Dropout(rate=self.dropout)
 
     def _split(self, x):
         b, t, _ = x.shape
@@ -82,8 +83,7 @@ class MHA(nn.Module):
         if mask is not None:
             scores = jnp.where(mask, jnp.asarray(-1e9, scores.dtype), scores)
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
-        if self.dropout > 0 and not deterministic:
-            probs = nn.Dropout(rate=self.dropout, deterministic=False)(probs)
+        probs = self.attn_drop(probs, deterministic=deterministic)
         ctx = jnp.einsum("bhqk,bhkd->bhqd", probs, v)
         return self.out(self._merge(ctx))
 

@@ -98,7 +98,10 @@ class MolNexTRModel(nn.Module):
                 prime_fmt = fmt
         if "edges" in self.cfg.data.formats and last_hidden is not None:
             indices = refs["atom_indices"]
-            out["edges"] = self.edges_head(last_hidden, jnp.maximum(indices, 0))
+            head_out = self.edges_head(last_hidden, jnp.maximum(indices, 0))
+            out["edges"] = head_out["edges"]
+            if "coords" in head_out:
+                out["coords"] = head_out["coords"]
         return out
 
     def output_logits(self, fmt: str, hidden: jnp.ndarray) -> jnp.ndarray:

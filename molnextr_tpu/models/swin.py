@@ -49,17 +49,25 @@ def window_reverse(x: jnp.ndarray, ws: int, h: int, w: int) -> jnp.ndarray:
     return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, c)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
 def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     """Attention mask for shifted windows: True = masked
-    (`transformers.py:204-223`)."""
+    (`transformers.py:204-223`).  Pure numpy so it stays a compile-time
+    constant even when traced under jit/remat."""
     img = np.zeros((h, w), dtype=np.int32)
     cnt = 0
     for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
         for wss in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
             img[hs, wss] = cnt
             cnt += 1
-    img = img.reshape(1, h, w, 1)
-    win = np.asarray(window_partition(jnp.asarray(img, dtype=jnp.int32), ws))[..., 0]
+    win = (
+        img.reshape(h // ws, ws, w // ws, ws)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, ws * ws)
+    )
     return win[:, None, :] != win[:, :, None]  # (nW, N, N)
 
 

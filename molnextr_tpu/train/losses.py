@@ -1,0 +1,133 @@
+"""Losses: label-smoothing sequence CE + weighted 7-class edge CE.
+
+Functional equivalents of the reference criterion stack
+(`/root/reference/MolNexTR/loss_fuc.py`):
+
+* ``sequence_loss``      -- :class:`SequenceLoss` (`loss_fuc.py:76-111`):
+  token-level cross entropy over (B, T, V) logits ignoring PAD and MASK
+  targets, with label smoothing expressed as the equivalent smoothed-CE
+  (the reference computes the same quantity as a KL divergence against the
+  smoothed one-hot, `loss_fuc.py:38-73`).
+* ``graph_loss``         -- :class:`GraphLoss` (`loss_fuc.py:8-35`): 7-class
+  edge cross entropy with class weight 1 for "no bond" and 10 for every real
+  bond class, ignoring -100 padding; plus an optional masked L1 coords loss.
+* ``Criterion``          -- per-format dict of losses summed by the train
+  step (`loss_fuc.py:117-151`, summed at `main.py:213`).
+
+All reductions are means over non-ignored elements, matching torch's
+``F.cross_entropy(weight=..., ignore_index=-100)`` semantics (weighted mean:
+sum of weighted losses / sum of weights).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from molnextr_tpu.tokenization import MASK_ID, PAD_ID
+
+EDGE_IGNORE = -100
+# "no bond" weighted 1, all six bond classes weighted 10 (`loss_fuc.py:14`).
+EDGE_CLASS_WEIGHTS = (1.0, 10.0, 10.0, 10.0, 10.0, 10.0, 10.0)
+
+
+def label_smoothing_ce(
+    logits: jnp.ndarray,
+    targets: jnp.ndarray,
+    smoothing: float = 0.0,
+    ignore_mask: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Smoothed cross entropy, mean over non-ignored targets.
+
+    logits: (..., V) float; targets: (...,) int; ignore_mask: (...,) bool,
+    True where the target must not contribute.
+    """
+    v = logits.shape[-1]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    if smoothing > 0.0:
+        # uniform smoothing mass over the non-target entries; identical
+        # minimizer to the reference KL form (`loss_fuc.py:57-73`)
+        smooth = -logp.mean(axis=-1)
+        loss = (1.0 - smoothing) * nll + smoothing * smooth
+    else:
+        loss = nll
+    if ignore_mask is not None:
+        keep = (~ignore_mask).astype(jnp.float32)
+        return (loss * keep).sum() / jnp.maximum(keep.sum(), 1.0)
+    return loss.mean()
+
+
+def sequence_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, smoothing: float = 0.1
+) -> jnp.ndarray:
+    """Token CE on shifted labels; PAD and MASK positions are ignored.
+
+    logits: (B, T-1, V) from teacher forcing; labels: (B, T) including SOS.
+    The model already drops the last logit and the train step compares with
+    labels[:, 1:] (`components.py:241-251`).
+    """
+    targets = labels[:, 1:]
+    ignore = (targets == PAD_ID) | (targets == MASK_ID)
+    # clip so ignored targets still index validly
+    safe = jnp.where(ignore, 0, targets)
+    return label_smoothing_ce(logits, safe, smoothing, ignore)
+
+
+def graph_loss(
+    edge_logits: jnp.ndarray,
+    edge_targets: jnp.ndarray,
+    coords_pred: Optional[jnp.ndarray] = None,
+    coords_targets: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Weighted 7-class CE over all atom pairs (`loss_fuc.py:8-35`).
+
+    edge_logits: (B, 7, K, K); edge_targets: (B, K, K) int with -100 padding.
+    """
+    logits = edge_logits.transpose(0, 2, 3, 1)  # (B, K, K, 7)
+    ignore = edge_targets == EDGE_IGNORE
+    safe = jnp.where(ignore, 0, edge_targets)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    w = jnp.asarray(EDGE_CLASS_WEIGHTS, jnp.float32)[safe]
+    w = jnp.where(ignore, 0.0, w)
+    loss = (nll * w).sum() / jnp.maximum(w.sum(), 1.0)
+    if coords_pred is not None and coords_targets is not None:
+        # masked mean-L1 on continuous coords (`loss_fuc.py:24-31`)
+        cmask = (coords_targets >= 0).all(axis=-1, keepdims=True)
+        l1 = jnp.abs(coords_pred - coords_targets) * cmask
+        loss = loss + l1.sum() / jnp.maximum(cmask.sum() * 2, 1.0)
+    return loss
+
+
+class Criterion:
+    """Per-format loss dispatcher (`loss_fuc.py:117-151`).
+
+    Call with the model's training outputs and the batch refs; returns
+    ``(total, {name: value})``.
+    """
+
+    def __init__(self, formats: Tuple[str, ...], label_smoothing: float = 0.1):
+        self.formats = tuple(formats)
+        self.smoothing = label_smoothing
+
+    def __call__(
+        self, outputs: Dict[str, Any], refs: Dict[str, jnp.ndarray]
+    ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+        losses: Dict[str, jnp.ndarray] = {}
+        for fmt in self.formats:
+            if fmt == "edges":
+                losses[fmt] = graph_loss(
+                    outputs["edges"],
+                    refs["edges"],
+                    outputs.get("coords"),
+                    refs.get("coords"),
+                )
+            else:
+                losses[fmt] = sequence_loss(outputs[fmt], refs[fmt], self.smoothing)
+        total = jnp.asarray(0.0, jnp.float32)
+        for v in losses.values():
+            total = total + v
+        return total, losses

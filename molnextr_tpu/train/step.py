@@ -1,0 +1,86 @@
+"""Jitted train / eval steps with data-parallel sharding.
+
+TPU-native replacement for the reference's train_fn inner loop
+(`/root/reference/main.py:204-255`): one compiled function does
+forward (teacher forcing, all formats), loss, backward, clip, and both
+optimizer updates.  Data parallelism comes from jitting with the batch
+sharded over the mesh ``data`` axis and the state replicated — XLA inserts
+the gradient all-reduce over ICI (the DDP all-reduce equivalent,
+`main.py:218`), no explicit collectives needed.
+
+bf16 policy: parameters and optimizer state stay float32, activations run
+in the model's compute dtype; loss/grad math is float32 (the TPU analogue
+of the reference's AMP GradScaler path, `main.py:209-231` — no loss scaling
+needed in bf16).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from molnextr_tpu.train.losses import Criterion
+from molnextr_tpu.train.state import TrainState
+
+
+def make_batch_shardings(mesh: Mesh, batch_tree) -> Any:
+    """Data-axis sharding for every leaf of the batch pytree."""
+    return jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P("data")), batch_tree
+    )
+
+
+def train_step_fn(model, criterion: Criterion):
+    """Returns step(state, batch, rng) -> (state, metrics)."""
+
+    def loss_fn(params, batch, dropout_rng):
+        outputs = model.apply(
+            params,
+            batch["images"],
+            batch["refs"],
+            deterministic=False,
+            rngs={"dropout": dropout_rng},
+        )
+        total, losses = criterion(outputs, batch["refs"])
+        return total, losses
+
+    def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
+        dropout_rng = jax.random.fold_in(rng, state.step)
+        (loss, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, dropout_rng
+        )
+        new_state = state.apply_gradients(grads=grads)
+        metrics = {"loss": loss, **losses}
+        return new_state, metrics
+
+    return step
+
+
+def eval_step_fn(model, criterion: Criterion):
+    """Teacher-forced validation loss (no param update)."""
+
+    def step(params, batch) -> Dict[str, Any]:
+        outputs = model.apply(
+            params, batch["images"], batch["refs"], deterministic=True
+        )
+        total, losses = criterion(outputs, batch["refs"])
+        return {"loss": total, **losses}
+
+    return step
+
+
+def jit_train_step(model, criterion: Criterion, mesh: Mesh, sample_batch):
+    """Compile the train step with explicit shardings over the mesh."""
+    step = train_step_fn(model, criterion)
+    repl = NamedSharding(mesh, P())
+    batch_sh = make_batch_shardings(mesh, sample_batch)
+    return jax.jit(
+        step,
+        in_shardings=(None, batch_sh, repl),
+        out_shardings=(None, repl),
+        donate_argnums=(0,),
+    )

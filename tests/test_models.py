@@ -67,7 +67,7 @@ class TestModelForward:
         T = refs["chartok_coords"].shape[1]
         assert out["chartok_coords"].shape == (2, T - 1, V)
         K = cfg.data.max_atoms
-        assert out["edges"]["edges"].shape == (2, 7, K, K)
+        assert out["edges"].shape == (2, 7, K, K)
 
 
 class TestKVCacheConsistency:
