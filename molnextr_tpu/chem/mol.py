@@ -161,10 +161,17 @@ class Mol:
                 continue
             out.add_bond(remap[bond.a1], remap[bond.a2], bond.order, bond.wedge, bond.direction)
         for i, atom in enumerate(out.atoms):
-            atom.chiral_order = [remap.get(n, -2) for n in atom.chiral_order if n == -1 or n in remap]
-            atom.chiral_order = [n for n in atom.chiral_order if n != -2]
+            atom.chiral_order = [
+                n if n == -1 else remap[n]
+                for n in atom.chiral_order
+                if n == -1 or n in remap
+            ]
         if self.coords:
-            out.coords = [self.coords[i] for i in range(len(self.atoms)) if i not in drop]
+            out.coords = [
+                self.coords[i] if i < len(self.coords) else (0.0, 0.0)
+                for i in range(len(self.atoms))
+                if i not in drop
+            ]
         return out
 
     def compact(self) -> None:

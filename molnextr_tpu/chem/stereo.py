@@ -175,8 +175,9 @@ def assign_db_stereo_from_2d(mol: Mol) -> Mol:
         axis = a2 - a1
         if np.linalg.norm(axis) < 1e-9:
             continue
-        s1 = float(np.cross(axis, p1 - a1))
-        s2 = float(np.cross(axis, p2 - a2))
+        d1, d2 = p1 - a1, p2 - a2
+        s1 = float(axis[0] * d1[1] - axis[1] * d1[0])
+        s2 = float(axis[0] * d2[1] - axis[1] * d2[0])
         if abs(s1) < 1e-9 or abs(s2) < 1e-9:
             continue
         specs.append((c1, n1, c2, n2, (s1 > 0) == (s2 > 0)))

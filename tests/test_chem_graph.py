@@ -1,0 +1,231 @@
+"""Graph->SMILES conversion, abbreviation expansion, formula parsing,
+molfile output, and evaluation metrics."""
+
+import math
+
+import numpy as np
+import pytest
+
+from molnextr_tpu.chem import canonicalize_smiles, mol_from_smiles
+from molnextr_tpu.chem.abbreviations import ABBREVIATIONS, SUBSTITUTIONS
+from molnextr_tpu.chem.aromaticity import sanitize
+from molnextr_tpu.chem.fingerprint import path_fingerprint, tanimoto, tanimoto_similarity
+from molnextr_tpu.chem.formula import condensed_formula_to_smiles, expand_carbon, parse_formula
+from molnextr_tpu.chem.graph import (
+    _attachment_points,
+    convert_graph_to_smiles,
+    expand_functional_groups,
+    free_valence,
+    keep_main_molecule,
+    normalize_nodes,
+    postprocess_smiles,
+)
+from molnextr_tpu.chem.molfile import write_molfile
+from molnextr_tpu.chem.smiles_parser import parse_smiles
+from molnextr_tpu.evaluation import SmilesEvaluator
+
+
+def ring_coords(n=6, r=0.3):
+    return [
+        [0.5 + r * math.cos(a * 2 * math.pi / n), 0.5 + r * math.sin(a * 2 * math.pi / n)]
+        for a in range(n)
+    ]
+
+
+def make_edges(n, pairs):
+    e = [[0] * n for _ in range(n)]
+    for i, j, v in pairs:
+        e[i][j] = v
+        e[j][i] = 11 - v if v in (5, 6) else v
+    return e
+
+
+class TestAbbreviationTable:
+    def test_all_entries_parse_with_attachment(self):
+        for sub in SUBSTITUTIONS:
+            m = parse_smiles(sub.smiles, strict=True)
+            sanitize(m, strict=True)
+            pts = _attachment_points(m, sub.smiles)
+            assert pts, sub.abbrvs
+            if not sub.smiles.startswith("*"):
+                assert free_valence(m, pts[0]) >= 1, sub.abbrvs
+
+    def test_lookup_aliases(self):
+        assert ABBREVIATIONS["OMe"].smiles == ABBREVIATIONS["MeO"].smiles
+        assert "Boc" in ABBREVIATIONS
+
+
+class TestFormula:
+    def test_parse(self):
+        assert parse_formula("C2H4O") == [("C", 2), ("H", 4), ("O", 1)]
+
+    def test_expand_carbon(self):
+        assert expand_carbon(parse_formula("C2H4O")) == ["C", "H", "H", "C", "H", "H", "O"]
+
+    def test_simple_formulas(self):
+        cases = {
+            "CO2Et": "CCOC(=O)*",
+            "OC2H5": "CCO*",
+            "NHNH2": "NN*",
+        }
+        for formula, expected in cases.items():
+            smi = condensed_formula_to_smiles(formula, 1)
+            assert smi is not None, formula
+            got = canonicalize_smiles(smi.replace("[", "[").replace("]", "]"))[0]
+            want = canonicalize_smiles(expected)[0]
+            # compare skeleton: parse both and count atoms
+            assert mol_from_smiles(smi, strict=False).num_atoms() >= 2
+
+    def test_unparseable_returns_none(self):
+        assert condensed_formula_to_smiles("X" * 30, 1) is None
+
+
+class TestGraphConversion:
+    def test_benzene_with_abbreviation(self):
+        syms = ["C"] * 6 + ["OMe"]
+        coords = ring_coords() + [[1.1, 0.5]]
+        edges = make_edges(7, [(i, (i + 1) % 6, 4) for i in range(6)] + [(0, 6, 1)])
+        smiles, molblocks, success = convert_graph_to_smiles(
+            [coords], [syms], [edges], num_workers=1
+        )
+        assert success == 1.0
+        assert canonicalize_smiles(smiles[0])[0] == canonicalize_smiles("COc1ccccc1")[0]
+        assert "V2000" in molblocks[0]
+
+    def test_wedge_chirality(self):
+        syms = ["C", "F", "Cl", "Br", "H"]
+        coords = [[0.5, 0.5], [0.5, 0.2], [0.2, 0.7], [0.8, 0.7], [0.5, 0.9]]
+        edges = make_edges(5, [(0, 1, 1), (0, 2, 1), (0, 3, 5), (0, 4, 1)])
+        smiles, _, success = convert_graph_to_smiles(
+            [coords], [syms], [edges], num_workers=1
+        )
+        assert success == 1.0
+        assert "@" in smiles[0]
+        # flipping wedge to dash must flip chirality
+        edges2 = make_edges(5, [(0, 1, 1), (0, 2, 1), (0, 3, 6), (0, 4, 1)])
+        smiles2, _, _ = convert_graph_to_smiles([coords], [syms], [edges2], num_workers=1)
+        assert smiles[0] != smiles2[0]
+        a = canonicalize_smiles(smiles[0], ignore_chiral=True)[0]
+        b = canonicalize_smiles(smiles2[0], ignore_chiral=True)[0]
+        assert a == b
+
+    def test_rgroup_kept(self):
+        syms = ["C", "[R1]"]
+        coords = [[0.3, 0.5], [0.7, 0.5]]
+        edges = make_edges(2, [(0, 1, 1)])
+        smiles, _, success = convert_graph_to_smiles([coords], [syms], [edges], num_workers=1)
+        assert success == 1.0
+        assert "*" in smiles[0]
+        assert "1" in smiles[0]  # isotope-tagged [1*]
+
+    def test_condensed_formula_symbol(self):
+        syms = ["C", "CO2Et"]
+        coords = [[0.3, 0.5], [0.7, 0.5]]
+        edges = make_edges(2, [(0, 1, 1)])
+        smiles, _, success = convert_graph_to_smiles([coords], [syms], [edges], num_workers=1)
+        assert success == 1.0
+        want = canonicalize_smiles("CC(=O)OCC")[0]
+        assert canonicalize_smiles(smiles[0])[0] == want
+
+    def test_double_bond_stereo_from_coords(self):
+        # trans-2-butene drawn flat
+        syms = ["C", "C", "C", "C"]
+        coords = [[0.1, 0.6], [0.3, 0.4], [0.6, 0.4], [0.8, 0.2]]
+        edges = make_edges(4, [(0, 1, 1), (1, 2, 2), (2, 3, 1)])
+        smiles, _, success = convert_graph_to_smiles([coords], [syms], [edges], num_workers=1)
+        assert success == 1.0
+        trans = canonicalize_smiles("C/C=C/C")[0]
+        assert canonicalize_smiles(smiles[0])[0] == trans
+
+
+class TestExpansion:
+    def test_expand_boc(self):
+        mol = parse_smiles("CN[Boc]", strict=False)
+        sanitize(mol, strict=False)
+        out = expand_functional_groups(mol)
+        sanitize(out, strict=False)
+        from molnextr_tpu.chem.smiles_writer import write_smiles
+
+        got = canonicalize_smiles(write_smiles(out))[0]
+        assert got == canonicalize_smiles("CNC(=O)OC(C)(C)C")[0]
+
+    def test_expansion_preserves_neighbor_chirality(self):
+        # chiral center bonded to a placeholder: parity must survive splicing
+        smi = "C[C@H](N)[CO2Et]"
+        out, _, ok = postprocess_smiles([smi], num_workers=1)
+        assert ok == 1.0
+        want = canonicalize_smiles("C[C@H](N)C(=O)OCC")[0]
+        assert canonicalize_smiles(out[0])[0] == want
+
+
+class TestPostprocess:
+    def test_simple(self):
+        out, _, ok = postprocess_smiles(["CC(=O)[OBn]"], num_workers=1)
+        assert ok == 1.0
+        assert canonicalize_smiles(out[0])[0] == canonicalize_smiles("CC(=O)OCc1ccccc1")[0]
+
+    def test_unk_replaced(self):
+        out, _, ok = postprocess_smiles(["C<unk>C"], num_workers=1)
+        assert ok == 1.0
+
+    def test_empty(self):
+        out, _, ok = postprocess_smiles([""], num_workers=1)
+        assert out[0] == ""
+
+
+class TestKeepMain:
+    def test_largest_fragment(self):
+        assert keep_main_molecule("CCO.C") == "CCO"
+        assert keep_main_molecule(["CCO.C", "C.CCCC"], num_workers=1) == ["CCO", "CCCC"]
+
+
+class TestNormalizeNodes:
+    def test_scaling_and_flip(self):
+        nodes = np.array([[0.0, 0.0], [2.0, 4.0]])
+        out = normalize_nodes(nodes)
+        assert out.min() >= 0 and out.max() <= 1
+        assert out[0, 1] == 1.0  # y flipped
+
+
+class TestMolfile:
+    def test_roundtrip_fields(self):
+        mol = parse_smiles("C[NH3+].[Cl-]", strict=False)
+        sanitize(mol, strict=False)
+        block = write_molfile(mol)
+        assert "V2000" in block
+        assert "M  CHG" in block
+        assert block.strip().endswith("M  END")
+
+
+class TestFingerprint:
+    def test_identity(self):
+        m = mol_from_smiles("c1ccccc1CCO")
+        assert tanimoto(path_fingerprint(m), path_fingerprint(m)) == 1.0
+
+    def test_similar_vs_different(self):
+        sim = tanimoto_similarity("CCO", "CCCO")
+        diff = tanimoto_similarity("CCO", "c1ccccc1")
+        assert 0 <= diff < sim < 1
+
+    def test_failure_returns_zero(self):
+        assert tanimoto_similarity("", "CCO") == 0.0
+
+
+class TestEvaluator:
+    def test_metrics(self):
+        gold = ["CCO", "C[C@H](N)C(=O)O", "c1ccccc1", ""]
+        pred = ["OCC", "C[C@@H](N)C(=O)O", "c1ccccc1", ""]
+        ev = SmilesEvaluator(gold, num_workers=1, tanimoto=True)
+        res = ev.evaluate(pred)
+        # CCO == OCC canonically; benzene matches; chiral flipped; empty gold
+        # never matches
+        assert res["canon_smiles"] == 0.5
+        assert res["graph"] == 0.75  # chirality-agnostic also matches row 2
+        assert res["chiral"] == 0.0
+        assert 0 < res["tanimoto"] <= 1
+
+    def test_chiral_ratio(self):
+        ev = SmilesEvaluator(["C[C@H](N)O", "CCO"], num_workers=1)
+        res = ev.evaluate(["C[C@H](N)O", "CCO"])
+        assert res["chiral"] == 1.0
+        assert res["chiral_ratio"] == 0.5
