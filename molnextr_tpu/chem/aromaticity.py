@@ -117,6 +117,15 @@ def kekulize(mol: Mol, strict: bool = True) -> Mol:
     return mol
 
 
+def dearomatize(mol: Mol, strict: bool = True) -> Mol:
+    """Kekulize and clear aromatic flags: the Indigo ``mol.dearomatize()``
+    analogue used by the synthetic generator (`dataset.py:304-305`)."""
+    kekulize(mol, strict=strict)
+    for a in mol.atoms:
+        a.aromatic = False
+    return mol
+
+
 def _pi_contribution(mol: Mol, idx: int, ring: Set[int]) -> Optional[int]:
     """Pi electrons contributed by `idx` to the candidate aromatic ring."""
     atom = mol.atoms[idx]

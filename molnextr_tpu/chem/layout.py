@@ -1,0 +1,275 @@
+"""2D coordinate generation for molecular graphs.
+
+The ``mol.layout()`` analogue (reference: Indigo's native layout, called at
+`/root/reference/MolNexTR/dataset.py:245`) used by the synthetic training
+renderer.  Algorithm:
+
+1. ring perception -> fused ring systems; each system is laid out as regular
+   polygons sharing edges (BFS over rings);
+2. acyclic atoms placed by BFS with alternating ±30° zig-zag angles off the
+   parent direction (standard chemical sketch convention);
+3. a light repulsion pass separates colliding atoms.
+
+Bond length is normalized to 1.0.  Output goes to ``mol.coords``.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import deque
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from molnextr_tpu.chem.mol import Mol
+
+
+def _ring_systems(mol: Mol) -> List[List[List[int]]]:
+    """Group SSSR rings into fused systems (sharing >= 1 atom)."""
+    rings = mol.ring_info()
+    systems: List[List[List[int]]] = []
+    assigned = [False] * len(rings)
+    for i in range(len(rings)):
+        if assigned[i]:
+            continue
+        group = [rings[i]]
+        assigned[i] = True
+        atoms = set(rings[i])
+        changed = True
+        while changed:
+            changed = False
+            for j in range(len(rings)):
+                if not assigned[j] and atoms & set(rings[j]):
+                    group.append(rings[j])
+                    atoms |= set(rings[j])
+                    assigned[j] = True
+                    changed = True
+        systems.append(group)
+    return systems
+
+
+def _away_direction(mol: Mol, pos: Dict[int, np.ndarray], a: int) -> np.ndarray:
+    """Unit vector pointing away from atom a's placed neighbors."""
+    away = np.zeros(2)
+    for x in mol.neighbors(a):
+        if x in pos:
+            v = pos[x] - pos[a]
+            ln = np.linalg.norm(v)
+            if ln > 1e-9:
+                away -= v / ln
+    ln = np.linalg.norm(away)
+    if ln < 1e-6:
+        ang = random.uniform(0, 2 * math.pi)
+        return np.array([math.cos(ang), math.sin(ang)])
+    return away / ln
+
+
+def _place_ring(
+    mol: Mol,
+    ring: List[int],
+    pos: Dict[int, np.ndarray],
+    system_atoms: Set[int],
+) -> Dict[int, np.ndarray]:
+    """Place one ring as a regular polygon, anchored on already-placed atoms.
+
+    Anchoring cases: shared edge (fused ring) -> polygon on the side away
+    from the system's placed centroid; one placed atom (spiro or
+    chain-attached ring) -> center along the atom's free direction; nothing
+    placed -> polygon at the origin.
+    """
+    n = len(ring)
+    r = 0.5 / math.sin(math.pi / n)
+    step = 2 * math.pi / n
+    out: Dict[int, np.ndarray] = {}
+
+    # shared-edge anchor: adjacent placed pair in ring order
+    k = None
+    for i in range(n):
+        if ring[i] in pos and ring[(i + 1) % n] in pos:
+            k = i
+            break
+    if k is not None:
+        a, b = ring[k], ring[(k + 1) % n]
+        pa, pb = pos[a], pos[b]
+        mid = (pa + pb) / 2
+        edge = pb - pa
+        eln = np.linalg.norm(edge)
+        norm = (
+            np.array([-edge[1], edge[0]]) / eln if eln > 1e-9 else np.array([0.0, 1.0])
+        )
+        apothem = r * math.cos(math.pi / n)
+        # the new ring goes on the side away from the placed part of the
+        # same ring system
+        others = [pos[x] for x in system_atoms if x in pos and x not in (a, b)]
+        if others and np.dot(norm, mid - np.mean(others, axis=0)) < 0:
+            norm = -norm
+        center = mid + apothem * norm
+        ang_a = math.atan2(*(pa - center)[::-1])
+        ang_b = math.atan2(*(pb - center)[::-1])
+        diff = (ang_b - ang_a) % (2 * math.pi)
+        direction = 1 if abs(diff - step) < abs(diff - (2 * math.pi - step)) else -1
+        for i in range(n):
+            atom = ring[(k + i) % n]
+            ang = ang_a + direction * step * i
+            out[atom] = center + r * np.array([math.cos(ang), math.sin(ang)])
+        return out
+
+    placed = [a for a in ring if a in pos]
+    if placed:
+        a = placed[0]
+        k = ring.index(a)
+        d = _away_direction(mol, pos, a)
+        center = pos[a] + r * d
+        start_ang = math.atan2(*(pos[a] - center)[::-1])
+    else:
+        k = 0
+        center = np.zeros(2)
+        start_ang = math.pi / 2
+    for i in range(n):
+        atom = ring[(k + i) % n]
+        ang = start_ang + step * i
+        out[atom] = center + r * np.array([math.cos(ang), math.sin(ang)])
+    return out
+
+
+def layout(mol: Mol, jitter: float = 0.0, seed: Optional[int] = None) -> Mol:
+    """Assign 2D coordinates (in place); bond length ~= 1."""
+    if seed is not None:
+        random.seed(seed)
+    n = mol.num_atoms()
+    if n == 0:
+        mol.coords = []
+        return mol
+    pos: Dict[int, np.ndarray] = {}
+    in_system: Dict[int, int] = {}
+    systems = _ring_systems(mol)
+    for si, system in enumerate(systems):
+        for ring in system:
+            for a in ring:
+                in_system[a] = si
+
+    placed_systems: Set[int] = set()
+
+    def place_system(si: int):
+        if si in placed_systems:
+            return
+        placed_systems.add(si)
+        system_atoms = {a for ring in systems[si] for a in ring}
+        remaining = sorted(systems[si], key=len, reverse=True)
+        # place rings one at a time, preferring those sharing placed atoms
+        while remaining:
+            best = None
+            for ring in remaining:
+                if any(a in pos for a in ring):
+                    best = ring
+                    break
+            if best is None:
+                best = remaining[0]
+            remaining.remove(best)
+            new = _place_ring(mol, best, pos, system_atoms)
+            for a, p in new.items():
+                if a not in pos:
+                    pos[a] = p
+
+    # BFS over the whole graph, fragment by fragment
+    frag_offset = 0.0
+    for frag in mol.fragments():
+        root = frag[0]
+        if root in in_system:
+            place_system(in_system[root])
+        else:
+            pos[root] = np.array([frag_offset, 0.0])
+        if root not in pos:
+            pos[root] = np.array([frag_offset, 0.0])
+        q = deque([root])
+        seen = {root}
+        flip: Dict[int, int] = {root: 1}
+        while q:
+            cur = q.popleft()
+            new_nbs = [x for x in mol.neighbors(cur) if x not in seen]
+            for nb in new_nbs:
+                seen.add(nb)
+            # direction pointing away from already-placed neighbors: the
+            # standard sketch rule for substituent placement
+            placed_nbs = [x for x in mol.neighbors(cur) if x in pos and x not in new_nbs]
+            if placed_nbs:
+                away = np.zeros(2)
+                for x in placed_nbs:
+                    v = pos[x] - pos[cur]
+                    ln = np.linalg.norm(v)
+                    if ln > 1e-9:
+                        away -= v / ln
+                if np.linalg.norm(away) < 1e-6:
+                    # placed neighbors cancel out (e.g. linear): go perpendicular
+                    v = pos[placed_nbs[0]] - pos[cur]
+                    away = np.array([-v[1], v[0]])
+                away = away / max(np.linalg.norm(away), 1e-9)
+            else:
+                away = np.array([1.0, 0.0])
+            base_ang = math.atan2(away[1], away[0])
+            to_place = [nb for nb in new_nbs if nb not in pos]
+            k_total = len(to_place)
+            sign = flip.get(cur, 1)
+            k = 0
+            for nb in new_nbs:
+                if nb not in pos:
+                    if k_total == 1:
+                        # zig-zag: ±30 degrees off the away direction
+                        ang = base_ang + sign * math.pi / 6
+                    else:
+                        spread = math.pi / 1.8
+                        ang = base_ang + spread * (k / max(k_total - 1, 1) - 0.5)
+                    step_v = np.array([math.cos(ang), math.sin(ang)])
+                    pos[nb] = pos[cur] + step_v
+                    flip[nb] = -sign
+                    k += 1
+                else:
+                    flip.setdefault(nb, -sign)
+                if nb in in_system:
+                    # anchor the ring system at the atom just placed
+                    place_system(in_system[nb])
+                q.append(nb)
+        # shift fragment to start right of the previous one
+        xs = [pos[a][0] for a in frag]
+        if frag_offset and xs:
+            shift = frag_offset - min(xs)
+            for a in frag:
+                pos[a] = pos[a] + np.array([shift, 0.0])
+        frag_offset = max(pos[a][0] for a in frag) + 2.0
+
+    # overlap relaxation: push non-bonded close pairs apart, but never move
+    # ring atoms (their polygon geometry is authoritative)
+    coords = np.array([pos[i] for i in range(n)])
+    ring_atom = [i in in_system for i in range(n)]
+    threshold = 0.75
+    for _ in range(60):
+        moved = False
+        for i in range(n):
+            for j in range(i + 1, n):
+                if mol.bond_between(i, j) is not None:
+                    continue
+                d = coords[j] - coords[i]
+                dist = float(np.linalg.norm(d))
+                if dist < threshold:
+                    if dist < 1e-6:
+                        d = np.array([random.random() - 0.5, random.random() - 0.5])
+                        dist = float(np.linalg.norm(d))
+                    push = (threshold - dist) * d / dist
+                    if ring_atom[i] and ring_atom[j]:
+                        continue
+                    if ring_atom[i]:
+                        coords[j] += push
+                    elif ring_atom[j]:
+                        coords[i] -= push
+                    else:
+                        coords[i] -= push / 2
+                        coords[j] += push / 2
+                    moved = True
+        if not moved:
+            break
+
+    if jitter > 0:
+        coords = coords + np.random.uniform(-jitter, jitter, coords.shape)
+    mol.coords = [(float(x), float(y)) for x, y in coords]
+    return mol

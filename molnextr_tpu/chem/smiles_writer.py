@@ -226,6 +226,7 @@ class _Writer:
 
     # -- pass 2: emit -----------------------------------------------------
     def emit(self, idx: int) -> str:
+        self.emit_order.append(idx)
         parts = [self.atom_token(idx)]
         for digit, partner in self.ring_digits[idx]:
             sym = ""
@@ -253,6 +254,7 @@ class _Writer:
         self.build_tree(root)
         self.assign_directions()
         self.visited_for_emit = [False] * self.mol.num_atoms()
+        self.emit_order: List[int] = []
         return self.emit(root)
 
 
@@ -262,11 +264,17 @@ def write_smiles(
     canonical: bool = True,
     alias_mode: bool = False,
     ranks: Optional[List[int]] = None,
-) -> str:
-    """Serialize the molecule, one dot-joined fragment per component."""
+    return_order: bool = False,
+):
+    """Serialize the molecule, one dot-joined fragment per component.
+
+    With ``return_order=True`` also returns the atom emission order — the
+    mol atom index of each atom token in output order — which the synthetic
+    data generator uses to align graph labels with the SMILES atom counter.
+    """
     n = mol.num_atoms()
     if n == 0:
-        return ""
+        return ("", []) if return_order else ""
     import sys
 
     old_limit = sys.getrecursionlimit()
@@ -277,10 +285,12 @@ def write_smiles(
         frags = mol.fragments()
         frags.sort(key=lambda f: min(ranks[a] for a in f))
         out = []
+        order: List[int] = []
         for frag in frags:
             root = min(frag, key=lambda a: ranks[a])
             w = _Writer(mol, ranks, isomeric, alias_mode)
             text = w.run(root)
+            order.extend(w.emit_order)
             # normalize the up/down gauge freedom: flipping every direction
             # marker in a fragment preserves all cis/trans relations, so fix
             # the first marker to "/" for canonical output
@@ -291,6 +301,7 @@ def write_smiles(
                     text = text.replace("/", "\x00").replace("\\", "/").replace("\x00", "\\")
                     break
             out.append(text)
-        return ".".join(out)
+        smiles = ".".join(out)
+        return (smiles, order) if return_order else smiles
     finally:
         sys.setrecursionlimit(old_limit)

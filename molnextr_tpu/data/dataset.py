@@ -1,0 +1,291 @@
+"""Training/eval datasets and static-shape batching.
+
+The counterpart of ``TrainDataset``/``AuxTrainDataset``/``bms_collate``
+(`/root/reference/MolNexTR/dataset.py:332-599`), restructured for XLA:
+every batch has *static shapes* — labels pad to the format's max length,
+edge matrices and atom indices pad to ``max_atoms`` — so the jitted train
+step compiles exactly once (the reference pads to the per-batch max, which
+would trigger recompilation per batch on TPU).
+
+Host parallelism: a multiprocessing prefetch pool renders synthetic images
+in workers, replacing torch DataLoader workers running Indigo C++
+(`main.py:329-337`).
+"""
+
+from __future__ import annotations
+
+import multiprocessing as mp
+import queue as queue_mod
+import random
+import threading
+from dataclasses import dataclass
+from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from molnextr_tpu.config import Config
+from molnextr_tpu.data.transforms import Compose, get_transforms
+from molnextr_tpu.tokenization import PAD_ID
+from molnextr_tpu.utils import FORMAT_INFO
+
+EDGE_IGNORE = -100
+
+
+@dataclass
+class Sample:
+    """One raw example: either a SMILES to render, or an image file."""
+
+    smiles: str
+    image_path: Optional[str] = None
+    coords: Optional[np.ndarray] = None  # pre-labeled pseudo coords
+
+
+def _normalize_keypoints(kps: np.ndarray, h: int, w: int) -> np.ndarray:
+    out = kps.astype(np.float32).copy()
+    out[:, 0] = np.clip(out[:, 0] / max(w, 1), 0, 1)
+    out[:, 1] = np.clip(out[:, 1] / max(h, 1), 0, 1)
+    return out
+
+
+class TrainDataset:
+    """Map-style dataset; __getitem__ builds one fully-tokenized example."""
+
+    def __init__(
+        self,
+        cfg: Config,
+        samples: Sequence[Sample],
+        tokenizers: Dict[str, Any],
+        split: str = "train",
+        dynamic: bool = True,
+    ):
+        self.cfg = cfg
+        self.samples = list(samples)
+        self.tokenizers = tokenizers
+        self.split = split
+        self.dynamic = dynamic and split == "train"
+        augment = cfg.data.augment and split == "train"
+        self.transform: Compose = get_transforms(
+            cfg.data.input_size, augment=augment, rotate=augment and cfg.data.rotate
+        )
+        self.formats = [f for f in cfg.data.formats if f != "edges"]
+        self.with_edges = "edges" in cfg.data.formats
+
+    def __len__(self) -> int:
+        return len(self.samples)
+
+    def __getitem__(self, idx: int) -> Optional[Dict[str, Any]]:
+        sample = self.samples[idx]
+        try:
+            return self._build(sample)
+        except Exception:
+            return None
+
+    def _build(self, sample: Sample) -> Optional[Dict[str, Any]]:
+        import cv2
+
+        if self.dynamic and sample.image_path is None:
+            from molnextr_tpu.data.synthetic import generate_synthetic_image
+
+            img, smiles, graph, ok = generate_synthetic_image(
+                sample.smiles,
+                mol_augment=self.cfg.data.mol_augment,
+                shuffle_nodes=self.cfg.data.shuffle_nodes,
+                include_condensed=self.cfg.data.include_condensed,
+                size=self.cfg.data.input_size,
+            )
+            if not ok or not graph:
+                return None
+            keypoints = np.asarray(graph["coords"], np.float32)
+            symbols = graph["symbols"]
+            edges = graph["edges"]
+        else:
+            if sample.image_path is None:
+                return None
+            img = cv2.imread(sample.image_path)
+            if img is None:
+                img = np.full((256, 256, 3), 255, np.uint8)  # white placeholder
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            smiles = sample.smiles
+            if sample.coords is not None:
+                keypoints = np.asarray(sample.coords, np.float32)
+                h, w = img.shape[:2]
+                keypoints[:, 0] *= w
+                keypoints[:, 1] *= h
+            else:
+                keypoints = np.zeros((0, 2), np.float32)
+            symbols = None
+            edges = None
+
+        out = self.transform(image=img, keypoints=keypoints)
+        image = out["image"].astype(np.float32)
+        kps = out["keypoints"]
+        h, w = image.shape[:2]
+        coords01 = _normalize_keypoints(kps, h, w) if len(kps) else None
+
+        item: Dict[str, Any] = {"image": image, "smiles": smiles}
+        for fmt in self.formats:
+            tok = self.tokenizers[fmt]
+            max_len = min(FORMAT_INFO[fmt]["max_len"], self.cfg.decoder.max_len)
+            labels, indices = tok.smiles_to_sequence(
+                smiles, coords01, mask_ratio=self.cfg.data.mask_ratio
+            )
+            item[fmt] = labels[:max_len]
+            item[f"{fmt}_indices"] = [i for i in indices if i < max_len]
+        if self.with_edges and edges is not None:
+            item["edges"] = np.asarray(edges, np.int64)
+        return item
+
+
+def pad_batch(
+    items: List[Dict[str, Any]],
+    formats: Sequence[str],
+    max_len: int,
+    max_atoms: int,
+) -> Dict[str, Any]:
+    """Static-shape collate (`bms_collate`, `dataset.py:551-599`)."""
+    items = [x for x in items if x is not None]
+    if not items:
+        return {}
+    b = len(items)
+    img = np.stack([x["image"] for x in items])
+    refs: Dict[str, Any] = {}
+    primary = None
+    for fmt in formats:
+        if fmt == "edges":
+            continue
+        labels = np.full((b, max_len), PAD_ID, np.int32)
+        for i, x in enumerate(items):
+            seq = x[fmt][:max_len]
+            labels[i, : len(seq)] = seq
+        refs[fmt] = labels
+        if fmt in ("chartok_coords", "atomtok_coords"):
+            primary = fmt
+    indices = np.zeros((b, max_atoms), np.int32)
+    num_atoms = np.zeros((b,), np.int32)
+    if primary is not None:
+        for i, x in enumerate(items):
+            idxs = x.get(f"{primary}_indices", [])[:max_atoms]
+            indices[i, : len(idxs)] = idxs
+            num_atoms[i] = len(idxs)
+    refs["atom_indices"] = indices
+    refs["num_atoms"] = num_atoms
+    if "edges" in formats:
+        edges = np.full((b, max_atoms, max_atoms), EDGE_IGNORE, np.int32)
+        for i, x in enumerate(items):
+            e = x.get("edges")
+            if e is None:
+                continue
+            k = min(e.shape[0], max_atoms, int(num_atoms[i]) or e.shape[0])
+            edges[i, :k, :k] = e[:k, :k]
+        refs["edges"] = edges
+    return {"images": img, "refs": refs, "smiles": [x["smiles"] for x in items]}
+
+
+# -- worker-pool loader --------------------------------------------------------
+
+_WORKER_DS: Optional[TrainDataset] = None
+
+
+def _worker_init(cfg_json: str, samples: List[Sample], split: str, seed: int):
+    global _WORKER_DS
+    random.seed(seed + mp.current_process().pid)
+    np.random.seed((seed + mp.current_process().pid) % 2**31)
+    from molnextr_tpu.tokenization import get_tokenizer
+
+    cfg = Config.from_json(cfg_json)
+    _WORKER_DS = TrainDataset(cfg, samples, get_tokenizer(cfg.data), split=split)
+
+
+def _worker_get(idx: int):
+    return _WORKER_DS[idx]
+
+
+class DataLoader:
+    """Prefetching loader over a process pool.
+
+    The host-parallel rendering pipeline (reference: DataLoader workers with
+    Indigo, `main.py:329-337`).  ``num_workers=0`` runs inline (tests).
+    """
+
+    def __init__(
+        self,
+        dataset: TrainDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 0,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 4,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+        cfg = dataset.cfg
+        fmt = next(f for f in cfg.data.formats if f != "edges")
+        self.max_len = min(FORMAT_INFO[fmt]["max_len"], cfg.decoder.max_len)
+        self.max_atoms = cfg.data.max_atoms
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _order(self) -> List[int]:
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            rng = random.Random(self.seed + self.epoch)
+            rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        order = self._order()
+        cfg = self.dataset.cfg
+        if self.num_workers <= 0:
+            for start in range(0, len(order), self.batch_size):
+                chunk = order[start : start + self.batch_size]
+                if self.drop_last and len(chunk) < self.batch_size:
+                    break
+                items = [self.dataset[i] for i in chunk]
+                batch = pad_batch(items, cfg.data.formats, self.max_len, self.max_atoms)
+                if batch:
+                    yield batch
+            return
+
+        ctx = mp.get_context("fork")
+        with ctx.Pool(
+            self.num_workers,
+            initializer=_worker_init,
+            initargs=(cfg.to_json(), self.dataset.samples, self.dataset.split,
+                      self.seed + self.epoch),
+        ) as pool:
+            batches = [
+                order[s : s + self.batch_size]
+                for s in range(0, len(order), self.batch_size)
+            ]
+            if self.drop_last:
+                batches = [b for b in batches if len(b) == self.batch_size]
+            pending: "queue_mod.Queue" = queue_mod.Queue()
+            inflight = []
+            it = iter(batches)
+            for _ in range(self.prefetch):
+                chunk = next(it, None)
+                if chunk is not None:
+                    inflight.append(pool.map_async(_worker_get, chunk))
+            while inflight:
+                res = inflight.pop(0)
+                chunk = next(it, None)
+                if chunk is not None:
+                    inflight.append(pool.map_async(_worker_get, chunk))
+                items = res.get()
+                batch = pad_batch(items, cfg.data.formats, self.max_len, self.max_atoms)
+                if batch:
+                    yield batch

@@ -1,0 +1,143 @@
+"""Synthetic generation, graph/label alignment, dataset + loader tests."""
+
+import random
+
+import numpy as np
+import pytest
+
+from molnextr_tpu.config import Config, tiny_test_config
+from molnextr_tpu.data import DataLoader, Sample, TrainDataset
+from molnextr_tpu.data.synthetic import (
+    collapse_functional_groups,
+    gen_rand_condensed,
+    generate_synthetic_image,
+)
+from molnextr_tpu.tokenization import PAD_ID, get_tokenizer
+
+SMILES = [
+    "CCO", "c1ccccc1", "CC(=O)O", "CCN", "C1CCCCC1", "CCOC", "CN", "CO",
+    "CC(=O)Oc1ccccc1C(=O)O", "C[C@H](N)C(=O)OCC",
+]
+
+
+class TestSyntheticGeneration:
+    def test_roundtrip_unaugmented(self):
+        from molnextr_tpu.chem import canonicalize_smiles
+
+        random.seed(0)
+        for smi in SMILES:
+            img, out, graph, ok = generate_synthetic_image(
+                smi, mol_augment=False, default_option=True
+            )
+            assert ok, smi
+            assert canonicalize_smiles(out)[0] == canonicalize_smiles(smi)[0], smi
+
+    def test_label_graph_alignment(self):
+        random.seed(3)
+        cfg = Config()
+        tok = get_tokenizer(cfg.data)["chartok_coords"]
+        for smi in SMILES:
+            img, out, graph, ok = generate_synthetic_image(smi, mol_augment=True)
+            assert ok
+            coords = np.asarray(graph["coords"], np.float32)
+            h, w = img.shape[:2]
+            c01 = coords.copy()
+            c01[:, 0] /= w
+            c01[:, 1] /= h
+            labels, indices = tok.smiles_to_sequence(out, c01.tolist())
+            assert len(indices) == graph["num_atoms"], out
+
+    def test_edges_antisymmetric_wedges(self):
+        random.seed(5)
+        found = False
+        for _ in range(10):
+            img, out, graph, ok = generate_synthetic_image("C[C@H](N)C(=O)O")
+            if not ok:
+                continue
+            e = graph["edges"]
+            for i in range(e.shape[0]):
+                for j in range(e.shape[0]):
+                    if e[i, j] in (5, 6):
+                        assert e[j, i] == 11 - e[i, j]
+                        found = True
+        # wedges should appear at least once for a chiral molecule
+        assert found
+
+    def test_failure_returns_flag(self):
+        img, out, graph, ok = generate_synthetic_image("not_a_smiles((((")
+        assert not ok
+
+    def test_rand_condensed_nonempty(self):
+        random.seed(0)
+        for _ in range(20):
+            s = gen_rand_condensed()
+            assert len(s) >= 1
+
+
+class TestCollapse:
+    def test_collapse_produces_superatom(self):
+        from molnextr_tpu.chem.smiles_parser import parse_smiles
+        from molnextr_tpu.chem.aromaticity import sanitize
+
+        random.seed(1)
+        hit = False
+        for _ in range(20):
+            mol = parse_smiles("CCOC(=O)CCC(=O)OCC", strict=True)
+            sanitize(mol)
+            out = collapse_functional_groups(mol)
+            if any(a.alias for a in out.atoms):
+                hit = True
+                break
+        assert hit
+
+
+class TestDatasetLoader:
+    def test_static_shapes(self):
+        random.seed(2)
+        cfg = tiny_test_config()
+        ds = TrainDataset(cfg, [Sample(s) for s in SMILES], get_tokenizer(cfg.data))
+        dl = DataLoader(ds, batch_size=4, num_workers=0)
+        shapes = set()
+        for batch in dl:
+            shapes.add(batch["refs"]["chartok_coords"].shape)
+            assert batch["refs"]["edges"].shape == (4, 8, 8)
+            assert batch["images"].dtype == np.float32
+        assert len(shapes) == 1  # static across batches
+
+    def test_worker_pool_matches_inline_count(self):
+        random.seed(2)
+        cfg = tiny_test_config()
+        ds = TrainDataset(cfg, [Sample(s) for s in SMILES], get_tokenizer(cfg.data))
+        n_inline = sum(1 for _ in DataLoader(ds, batch_size=2, num_workers=0))
+        n_pool = sum(1 for _ in DataLoader(ds, batch_size=2, num_workers=2))
+        assert n_inline == n_pool == 5
+
+    def test_file_based_dataset(self, tmp_path):
+        import cv2
+
+        cfg = tiny_test_config()
+        img = np.full((64, 64, 3), 255, np.uint8)
+        cv2.line(img, (10, 10), (50, 50), (0, 0, 0), 2)
+        p = str(tmp_path / "mol.png")
+        cv2.imwrite(p, img)
+        ds = TrainDataset(
+            cfg,
+            [Sample("CCO", image_path=p)],
+            get_tokenizer(cfg.data),
+            split="test",
+        )
+        item = ds[0]
+        assert item is not None
+        assert item["image"].shape == (32, 32, 3)
+
+    def test_bad_sample_filtered(self):
+        cfg = tiny_test_config()
+        ds = TrainDataset(
+            cfg,
+            [Sample("x(((bad"), Sample("CCO")],
+            get_tokenizer(cfg.data),
+        )
+        dl = DataLoader(ds, batch_size=2, num_workers=0, drop_last=False)
+        batches = list(dl)
+        assert len(batches) == 1
+        assert batches[0]["images"].shape[0] == 1  # bad sample dropped
