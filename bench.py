@@ -49,8 +49,12 @@ def main() -> None:
     class_mask = jnp.asarray(cm)
 
     s = cfg.data.input_size
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(rng.standard_normal((args.batch, s, s, 3), dtype=np.float32))
+    # distinct inputs per iteration, generated on device: repeated identical
+    # dispatches can be memoized by the runtime and undercount real work
+    gen = jax.jit(
+        lambda k: jax.random.normal(k, (args.batch, s, s, 3), jnp.float32)
+    )
+    images = gen(jax.random.PRNGKey(0))
     refs = {
         fmt: jnp.ones((1, 8), jnp.int32),
         "atom_indices": jnp.zeros((1, cfg.data.max_atoms), jnp.int32),
@@ -93,12 +97,12 @@ def main() -> None:
     jit_infer = jax.jit(infer)
     # warmup / compile
     out = jit_infer(params, images)
-    jax.block_until_ready(out)
+    np.asarray(out[0])  # full sync through the transfer path
 
     t0 = time.perf_counter()
-    for _ in range(args.iters):
-        out = jit_infer(params, images)
-    jax.block_until_ready(out)
+    for i in range(args.iters):
+        out = jit_infer(params, gen(jax.random.PRNGKey(i + 1)))
+    np.asarray(out[0])
     dt = (time.perf_counter() - t0) / args.iters
 
     img_per_sec = args.batch / dt

@@ -1,4 +1,4 @@
-"""Autoregressive transformer decoder (Flax).
+"""Autoregressive transformer decoder (Flax), scan-over-layers.
 
 Architecture matches the reference's ONMT-derived decoder
 (`/root/reference/MolNexTR/models/decoder.py:162-487`): pre-norm layers of
@@ -7,14 +7,12 @@ Architecture matches the reference's ONMT-derived decoder
 (`decoder.py:470`).  Word embeddings are scaled by sqrt(dim) and summed with
 sinusoidal positions (`models/embedding.py:42-61`).
 
-Two execution modes:
-
-* :meth:`Decoder.__call__` -- full-sequence teacher forcing (training).
-* :meth:`Decoder.step`     -- single-token decode against a preallocated KV
-  cache, the XLA-friendly replacement for the reference's per-layer python
-  dict cache (`decoder.py:431-487`).  The cache has static shape
-  ``(B, L, H, max_len, head_dim)`` and is updated with dynamic_update_slice,
-  so the whole decode loop compiles once.
+TPU-first structure: the layer stack is a single ``nn.scan`` over stacked
+parameters ``(L, ...)`` — one compiled body instead of L copies, which cuts
+HLO size, speeds compilation, and keeps the KV cache as two stacked arrays
+``(L, B, H, max_len, head_dim)`` updated with ``dynamic_update_slice`` so
+the whole decode loop compiles once with static shapes (the reference keeps
+a python dict of per-layer caches, `decoder.py:431-487`).
 """
 
 from __future__ import annotations
@@ -108,6 +106,9 @@ class FeedForward(nn.Module):
 
 
 class DecoderLayer(nn.Module):
+    """One pre-norm decoder layer with scan-compatible method signatures:
+    every method is ``(carry, scanned, broadcast) -> (carry, outputs)``."""
+
     cfg: DecoderConfig
     dtype: Any = jnp.float32
 
@@ -122,40 +123,42 @@ class DecoderLayer(nn.Module):
         )
         self.drop = nn.Dropout(rate=c.hidden_dropout)
 
-    def __call__(self, x, memory, self_mask=None, mem_mask=None, deterministic=True):
+    def forward(self, x, scanned, bcast):
+        """Full-sequence teacher-forced layer."""
+        memory = bcast["memory"]
+        self_mask = bcast["self_mask"]
+        det = bcast["det"]
         xn = self.ln1(x)
-        q = self.self_attn(xn, xn, xn, self_mask, deterministic)
-        q = self.drop(q, deterministic=deterministic) + x
-        mid = self.cross_attn(self.ln2(q), memory, memory, mem_mask, deterministic)
-        return self.ffn(self.drop(mid, deterministic=deterministic) + q, deterministic)
+        q = self.self_attn(xn, xn, xn, self_mask, det)
+        q = self.drop(q, deterministic=det) + x
+        mid = self.cross_attn(self.ln2(q), memory, memory, None, det)
+        out = self.ffn(self.drop(mid, deterministic=det) + q, det)
+        return out, {}
 
-    # -- cached single-step path -----------------------------------------
-    def init_cache(self, memory):
-        """Precompute cross-attention K/V once per sequence."""
-        mk, mv = self.cross_attn.project_kv(self.ln_memory_identity(memory))
-        return mk, mv
+    def project_memory(self, carry, scanned, bcast):
+        """Precompute cross-attention K/V once per sequence (the cache's
+        ``memory_keys/values``, reference `decoder.py:438-448`)."""
+        mk, mv = self.cross_attn.project_kv(bcast["memory"])
+        return carry, {"mem_k": mk, "mem_v": mv}
 
-    def ln_memory_identity(self, memory):
-        # cross-attn keys/values are computed from the raw memory bank (the
-        # reference's context_attn consumes memory_bank directly,
-        # `decoder.py:269-276`)
-        return memory
-
-    def step(self, x, pos, self_k, self_v, mem_k, mem_v, step_mask, deterministic=True):
-        """One-token forward.  x: (B, 1, D); caches carry full max_len."""
+    def cached_step(self, x, scanned, bcast):
+        """One-token forward against the static-shape cache slice."""
+        pos = bcast["pos"]
+        step_mask = bcast["step_mask"]
+        self_k, self_v = scanned["self_k"], scanned["self_v"]
+        mem_k, mem_v = scanned["mem_k"], scanned["mem_v"]
         xn = self.ln1(x)
         q = self.self_attn.project_q(xn)
         k_new, v_new = self.self_attn.project_kv(xn)
-        # write current position into the cache
         self_k = jax.lax.dynamic_update_slice(self_k, k_new, (0, 0, pos, 0))
         self_v = jax.lax.dynamic_update_slice(self_v, v_new, (0, 0, pos, 0))
-        attn_out = self.self_attn.attend(q, self_k, self_v, step_mask, deterministic)
+        attn_out = self.self_attn.attend(q, self_k, self_v, step_mask, True)
         q_res = attn_out + x
         qn = self.ln2(q_res)
         qq = self.cross_attn.project_q(qn)
-        mid = self.cross_attn.attend(qq, mem_k, mem_v, None, deterministic)
-        out = self.ffn(mid + q_res, deterministic)
-        return out, self_k, self_v
+        mid = self.cross_attn.attend(qq, mem_k, mem_v, None, True)
+        out = self.ffn(mid + q_res, True)
+        return out, {"self_k": self_k, "self_v": self_v}
 
 
 class Decoder(nn.Module):
@@ -170,7 +173,16 @@ class Decoder(nn.Module):
         self.embed = nn.Embed(self.vocab_size, c.hidden_size, dtype=self.dtype,
                               embedding_init=nn.initializers.normal(0.02))
         self.pe = jnp.asarray(sinusoidal_positions(c.max_len + 8, c.hidden_size))
-        self.layers = [DecoderLayer(c, self.dtype, name=f"layer_{i}") for i in range(c.num_layers)]
+        scan = nn.scan(
+            DecoderLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(0, nn.broadcast),
+            out_axes=0,
+            length=c.num_layers,
+            methods=["forward", "project_memory", "cached_step"],
+        )
+        self.layers = scan(c, self.dtype, name="layers")
         self.final_ln = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
         self.emb_drop = nn.Dropout(rate=c.hidden_dropout)
         # vocabulary projection (`components.py:226`)
@@ -198,8 +210,9 @@ class Decoder(nn.Module):
         self_mask = causal
         if pad_mask is not None:
             self_mask = causal | pad_mask[:, None, None, :]
-        for layer in self.layers:
-            x = layer(x, memory, self_mask, None, deterministic)
+        x, _ = self.layers.forward(
+            x, {}, {"memory": memory, "self_mask": self_mask, "det": deterministic}
+        )
         return self.final_ln(x)
 
     def init_cache(self, memory) -> Dict[str, jnp.ndarray]:
@@ -213,17 +226,15 @@ class Decoder(nn.Module):
         b = memory.shape[0]
         h = c.attn_heads
         hd = c.hidden_size // h
-        mem_k, mem_v = [], []
-        for layer in self.layers:
-            mk, mv = layer.cross_attn.project_kv(memory)
-            mem_k.append(mk)
-            mem_v.append(mv)
+        _, proj = self.layers.project_memory(
+            jnp.zeros((), jnp.int32), {}, {"memory": memory}
+        )
         zeros = jnp.zeros((c.num_layers, b, h, c.max_len, hd), dtype=self.dtype)
         return {
             "self_k": zeros,
             "self_v": jnp.zeros_like(zeros),
-            "mem_k": jnp.stack(mem_k),
-            "mem_v": jnp.stack(mem_v),
+            "mem_k": proj["mem_k"],
+            "mem_v": proj["mem_v"],
         }
 
     def step(self, token, pos, cache, deterministic=True):
@@ -237,17 +248,19 @@ class Decoder(nn.Module):
         # mask future cache positions: (1, 1, 1, max_len)
         positions = jnp.arange(c.max_len)[None, None, None, :]
         step_mask = positions > pos
-        new_self_k, new_self_v = [], []
-        for i, layer in enumerate(self.layers):
-            x, sk, sv = layer.step(
-                x, pos, cache["self_k"][i], cache["self_v"][i],
-                cache["mem_k"][i], cache["mem_v"][i], step_mask, deterministic,
-            )
-            new_self_k.append(sk)
-            new_self_v.append(sv)
+        x, new = self.layers.cached_step(
+            x,
+            {
+                "self_k": cache["self_k"],
+                "self_v": cache["self_v"],
+                "mem_k": cache["mem_k"],
+                "mem_v": cache["mem_v"],
+            },
+            {"pos": pos, "step_mask": step_mask},
+        )
         cache = {
-            "self_k": jnp.stack(new_self_k),
-            "self_v": jnp.stack(new_self_v),
+            "self_k": new["self_k"],
+            "self_v": new["self_v"],
             "mem_k": cache["mem_k"],
             "mem_v": cache["mem_v"],
         }
