@@ -1,0 +1,220 @@
+"""Training orchestration: epochs, meters, per-epoch eval, checkpoints.
+
+The TPU-native counterpart of the reference driver (`/root/reference/main.py:192-427`):
+
+* one jitted data-parallel train step over the device mesh (replacing the
+  DDP + AMP + two-optimizer inner loop, `main.py:204-255`),
+* step-time meters with ETA printing (`main.py:194-252`),
+* per-epoch greedy-decode evaluation scored with SmilesEvaluator
+  (`main.py:379`, `:514-529`),
+* best/all/last checkpointing keyed on the validation canon_smiles score
+  (`main.py:400-424`),
+* metrics appended to ``metrics.jsonl`` (replacing tensorboardX scalars,
+  `main.py:405-412`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from molnextr_tpu.checkpoint import CheckpointManager
+from molnextr_tpu.config import Config
+from molnextr_tpu.data import DataLoader, Sample, TrainDataset
+from molnextr_tpu.models.model import MolNexTRModel
+from molnextr_tpu.parallel import make_mesh, shard_batch
+from molnextr_tpu.tokenization import get_tokenizer
+from molnextr_tpu.train.losses import Criterion
+from molnextr_tpu.train.state import TrainState, create_train_state
+from molnextr_tpu.train.step import jit_train_step
+from molnextr_tpu.utils import AverageMeter, LossMeter, print_rank_0, seed_everything, time_since
+
+
+def _dummy_init_batch(cfg: Config, tokenizers) -> Dict[str, Any]:
+    """Shape-correct batch for parameter initialization."""
+    from molnextr_tpu.utils import FORMAT_INFO
+
+    s = cfg.data.input_size
+    k = cfg.data.max_atoms
+    refs: Dict[str, Any] = {}
+    for fmt in cfg.data.formats:
+        if fmt == "edges":
+            continue
+        max_len = min(FORMAT_INFO[fmt]["max_len"], cfg.decoder.max_len)
+        refs[fmt] = np.ones((1, max_len), np.int32)
+    refs["atom_indices"] = np.zeros((1, k), np.int32)
+    refs["num_atoms"] = np.zeros((1,), np.int32)
+    refs["edges"] = np.zeros((1, k, k), np.int32)
+    return {"images": np.zeros((1, s, s, 3), np.float32), "refs": refs}
+
+
+def evaluate_model(
+    cfg: Config,
+    model: MolNexTRModel,
+    params,
+    tokenizers,
+    valid_samples: Sequence[Sample],
+    num_workers: int = 8,
+    batch_size: Optional[int] = None,
+) -> Dict[str, Any]:
+    """Greedy-decode the validation set and score it
+    (`main.py:430-529`)."""
+    from molnextr_tpu.chem.graph import convert_graph_to_smiles
+    from molnextr_tpu.evaluation import SmilesEvaluator
+    from molnextr_tpu.inference import InferenceEngine
+
+    engine = InferenceEngine(cfg, tokenizers, model, params)
+    ds = TrainDataset(cfg, list(valid_samples), tokenizers, split="valid", dynamic=True)
+    # validation images render deterministically (no style jitter / augment)
+    ds.dynamic = True
+    bs = batch_size or cfg.decode.batch_size
+    golds: List[str] = []
+    preds: List[Dict] = []
+    batch_imgs: List[np.ndarray] = []
+    for i in range(len(ds)):
+        sample = ds.samples[i]
+        if sample.image_path is None:
+            from molnextr_tpu.data.synthetic import generate_synthetic_image
+
+            img, smiles, graph, ok = generate_synthetic_image(
+                sample.smiles, mol_augment=False, default_option=True,
+                size=cfg.data.input_size,
+            )
+            if not ok:
+                continue
+            out = ds.transform(image=img, keypoints=[])
+            golds.append(smiles)
+            batch_imgs.append(out["image"].astype(np.float32))
+        else:
+            import cv2
+
+            img = cv2.imread(sample.image_path)
+            if img is None:
+                continue
+            img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+            out = ds.transform(image=img, keypoints=[])
+            golds.append(sample.smiles)
+            batch_imgs.append(out["image"].astype(np.float32))
+        if len(batch_imgs) == bs or i == len(ds) - 1:
+            preds += engine.predict_images(np.stack(batch_imgs))
+            batch_imgs = []
+    if batch_imgs:
+        preds += engine.predict_images(np.stack(batch_imgs))
+
+    fmt = engine.fmt
+    coords = [p[fmt]["coords"] for p in preds]
+    symbols = [p[fmt]["symbols"] for p in preds]
+    edges = [p["edges"] for p in preds]
+    smiles_list, _, _ = convert_graph_to_smiles(
+        coords, symbols, edges, num_workers=num_workers
+    )
+    evaluator = SmilesEvaluator(golds[: len(smiles_list)], num_workers=num_workers)
+    scores = evaluator.evaluate(smiles_list)
+    scores["n"] = len(smiles_list)
+    return scores
+
+
+def train_loop(
+    cfg: Config,
+    train_samples: Sequence[Sample],
+    valid_samples: Optional[Sequence[Sample]] = None,
+    num_workers: Optional[int] = None,
+    print_freq: int = 50,
+    do_eval: bool = True,
+) -> TrainState:
+    """Full training run; returns the final state."""
+    seed_everything(cfg.train.seed)
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    n_dev = mesh.devices.size
+    tokenizers = get_tokenizer(cfg.data)
+    vocab_sizes = {f: len(t) for f, t in tokenizers.items()}
+    dtype = jnp.bfloat16 if cfg.train.bf16 else jnp.float32
+    model = MolNexTRModel(cfg, vocab_sizes, dtype=dtype)
+
+    ds = TrainDataset(cfg, list(train_samples), tokenizers, split="train")
+    workers = cfg.train.num_workers if num_workers is None else num_workers
+    loader = DataLoader(
+        ds, batch_size=cfg.train.batch_size, shuffle=True,
+        num_workers=workers, seed=cfg.train.seed,
+    )
+    steps_per_epoch = (
+        cfg.train.train_steps_per_epoch
+        if cfg.train.train_steps_per_epoch > 0
+        else len(loader)
+    )
+    total_steps = max(steps_per_epoch * cfg.train.epochs, 1)
+    print_rank_0(
+        f"devices={n_dev} global_batch={cfg.train.batch_size} "
+        f"steps/epoch={steps_per_epoch} total={total_steps}"
+    )
+
+    init_batch = _dummy_init_batch(cfg, tokenizers)
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(cfg.train.seed), total_steps, init_batch
+    )
+    criterion = Criterion(cfg.data.formats, cfg.train.label_smoothing)
+    compiled = None
+    ckpt = CheckpointManager(cfg.train.save_path, cfg.train.save_mode)
+    metrics_path = os.path.join(cfg.train.save_path, "metrics.jsonl")
+    os.makedirs(cfg.train.save_path, exist_ok=True)
+    rng = jax.random.PRNGKey(cfg.train.seed + 1)
+
+    global_step = int(state.step)
+    start = time.time()
+    for epoch in range(cfg.train.epochs):
+        loader.set_epoch(epoch)
+        loss_meter = LossMeter()
+        batch_time = AverageMeter()
+        data_time = AverageMeter()
+        t_prev = time.time()
+        for bidx, batch in enumerate(loader):
+            if bidx >= steps_per_epoch:
+                break
+            data_time.update(time.time() - t_prev)
+            batch.pop("smiles", None)
+            batch["refs"].pop("num_atoms", None)
+            dev_batch = shard_batch(mesh, batch)
+            if compiled is None:
+                compiled = jit_train_step(model, criterion, mesh, dev_batch)
+            state, metrics = compiled(state, dev_batch, rng)
+            global_step += 1
+            if bidx % print_freq == 0 or bidx == steps_per_epoch - 1:
+                host = {k: float(v) for k, v in metrics.items()}
+                loss_meter.update(host.pop("loss"), host, n=cfg.train.batch_size)
+                pct = (bidx + 1) / steps_per_epoch
+                print_rank_0(
+                    f"epoch {epoch} [{bidx + 1}/{steps_per_epoch}] "
+                    f"loss {loss_meter.val:.4f} (avg {loss_meter.avg:.4f}) "
+                    f"data {data_time.avg:.3f}s batch {batch_time.avg:.3f}s "
+                    f"{time_since(start, (epoch + pct) / cfg.train.epochs)}"
+                )
+            batch_time.update(time.time() - t_prev)
+            t_prev = time.time()
+
+        scores: Dict[str, Any] = {}
+        if do_eval and valid_samples:
+            scores = evaluate_model(
+                cfg, model, state.params, tokenizers, valid_samples,
+                num_workers=max(workers, 1),
+            )
+            print_rank_0(f"epoch {epoch} eval: {scores}")
+        with open(metrics_path, "a") as f:
+            f.write(
+                json.dumps(
+                    {
+                        "epoch": epoch,
+                        "step": global_step,
+                        "train_loss": loss_meter.epoch.avg,
+                        **{f"valid_{k}": v for k, v in scores.items()},
+                    }
+                )
+                + "\n"
+            )
+        ckpt.save(cfg, state, epoch, score=scores.get("canon_smiles"))
+    return state

@@ -1,0 +1,108 @@
+"""End-to-end training-loop and CLI tests (tiny config, CPU mesh)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from molnextr_tpu.config import tiny_test_config
+from molnextr_tpu.data import Sample
+
+SMILES = ["CCO", "c1ccccc1", "CC(=O)O", "CCN", "C1CCCCC1", "CCOC", "CN", "CO",
+          "CCC", "CCCl", "CBr", "CCS", "CC=C", "C#N", "CCCO", "COC"]
+
+
+class TestTrainLoop:
+    def test_two_epoch_run_with_eval_and_ckpt(self, tmp_path):
+        from molnextr_tpu.train.loop import train_loop
+
+        cfg = tiny_test_config()
+        cfg.train.epochs = 2
+        cfg.train.batch_size = 8
+        cfg.train.save_path = str(tmp_path)
+        cfg.train.save_mode = "best"
+        samples = [Sample(s) for s in SMILES]
+        state = train_loop(
+            cfg, samples, valid_samples=samples[:4], num_workers=0,
+            print_freq=1,
+        )
+        assert int(state.step) == 2 * (len(SMILES) // 8)
+        metrics = [
+            json.loads(line)
+            for line in open(os.path.join(str(tmp_path), "metrics.jsonl"))
+        ]
+        assert len(metrics) == 2
+        assert "valid_canon_smiles" in metrics[0]
+        assert np.isfinite(metrics[-1]["train_loss"])
+        # best checkpoint written with full config + opt state
+        ckpt_dir = os.path.join(str(tmp_path), "ckpt_best")
+        assert os.path.exists(os.path.join(ckpt_dir, "config.json"))
+        assert os.path.exists(os.path.join(ckpt_dir, "params.msgpack"))
+        assert os.path.exists(os.path.join(ckpt_dir, "opt_state.msgpack"))
+
+    def test_resume_restores_step(self, tmp_path):
+        from molnextr_tpu.checkpoint import CheckpointManager
+        from molnextr_tpu.models.model import MolNexTRModel
+        from molnextr_tpu.tokenization import get_tokenizer
+        from molnextr_tpu.train import create_train_state
+        from molnextr_tpu.train.loop import _dummy_init_batch
+
+        import jax
+
+        cfg = tiny_test_config()
+        cfg.train.save_path = str(tmp_path)
+        tokenizers = get_tokenizer(cfg.data)
+        model = MolNexTRModel(cfg, {f: len(t) for f, t in tokenizers.items()})
+        batch = _dummy_init_batch(cfg, tokenizers)
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10, batch)
+        state = state.replace(step=state.step + 7)
+        mgr = CheckpointManager(str(tmp_path), "best")
+        mgr.save(cfg, state, epoch=0, score=0.5)
+        fresh = create_train_state(cfg, model, jax.random.PRNGKey(1), 10, batch)
+        restored, meta = mgr.restore(fresh, "best")
+        assert int(restored.step) == 7
+        assert meta["epoch"] == 0
+
+
+class TestCLIs:
+    def test_evaluate_cli(self, tmp_path, capsys):
+        import pandas as pd
+
+        from molnextr_tpu.evaluate_cli import main
+
+        gold = tmp_path / "gold.csv"
+        pred = tmp_path / "pred.csv"
+        pd.DataFrame(
+            {"image_id": ["a", "b"], "SMILES": ["CCO", "c1ccccc1"]}
+        ).to_csv(gold, index=False)
+        pd.DataFrame(
+            {"image_id": ["b", "a"], "SMILES": ["c1ccccc1", "OCC"]}
+        ).to_csv(pred, index=False)
+        main(["--gold_file", str(gold), "--pred_file", str(pred),
+              "--num_workers", "1"])
+        out = json.loads(capsys.readouterr().out)
+        assert out["canon_smiles"] == 1.0
+
+    def test_train_cli_smoke(self, tmp_path):
+        import pandas as pd
+
+        from molnextr_tpu.config import tiny_test_config
+        from molnextr_tpu.train import main
+
+        csv = tmp_path / "train.csv"
+        pd.DataFrame({"SMILES": SMILES}).to_csv(csv, index=False)
+        cfg = tiny_test_config()
+        cfg_path = tmp_path / "cfg.json"
+        with open(cfg_path, "w") as f:
+            f.write(cfg.to_json())
+        main([
+            "--train_file", str(csv),
+            "--config", str(cfg_path),
+            "--save_path", str(tmp_path / "out"),
+            "--epochs", "1",
+            "--batch_size", "8",
+            "--num_workers", "0",
+            "--no_eval",
+        ])
+        assert os.path.exists(tmp_path / "out" / "metrics.jsonl")
