@@ -19,6 +19,7 @@ import numpy as np
 from molnextr_tpu.config import Config
 from molnextr_tpu.models.heads import symmetrize_edge_probs
 from molnextr_tpu.models.model import MolNexTRModel
+from molnextr_tpu.decoding.beam import beam_decode
 from molnextr_tpu.decoding.greedy import greedy_decode
 from molnextr_tpu.utils import FORMAT_INFO
 
@@ -63,6 +64,19 @@ class InferenceEngine:
         def init_cache_fn(mem):
             return model.apply(params, self.fmt, mem, method=MolNexTRModel.init_cache)
 
+        if self.cfg.decode.beam_size > 1:
+            return beam_decode(
+                step_fn,
+                init_cache_fn,
+                memory,
+                self._token_class,
+                self._class_mask,
+                self.max_len,
+                self.cfg.decoder.hidden_size,
+                beam_size=self.cfg.decode.beam_size,
+                min_len=self.cfg.decode.min_length,
+                use_constraint=self._use_constraint,
+            )
         return greedy_decode(
             step_fn,
             init_cache_fn,
@@ -71,6 +85,7 @@ class InferenceEngine:
             self._class_mask,
             self.max_len,
             self.cfg.decoder.hidden_size,
+            min_len=self.cfg.decode.min_length,
             use_constraint=self._use_constraint,
         )
 
