@@ -142,9 +142,15 @@ class DecoderLayer(nn.Module):
         return carry, {"mem_k": mk, "mem_v": mv}
 
     def cached_step(self, x, scanned, bcast):
-        """One-token forward against the static-shape cache slice."""
+        """One-token forward against the static-shape cache slice.
+
+        Self-attention over the cache runs through the pallas
+        prefix-attention kernel on TPU (only chunks up to ``pos`` are read
+        from HBM); see :mod:`molnextr_tpu.ops.decode_attention`.
+        """
+        from molnextr_tpu.ops.decode_attention import cached_decode_attention
+
         pos = bcast["pos"]
-        step_mask = bcast["step_mask"]
         self_k, self_v = scanned["self_k"], scanned["self_v"]
         mem_k, mem_v = scanned["mem_k"], scanned["mem_v"]
         xn = self.ln1(x)
@@ -152,7 +158,10 @@ class DecoderLayer(nn.Module):
         k_new, v_new = self.self_attn.project_kv(xn)
         self_k = jax.lax.dynamic_update_slice(self_k, k_new, (0, 0, pos, 0))
         self_v = jax.lax.dynamic_update_slice(self_v, v_new, (0, 0, pos, 0))
-        attn_out = self.self_attn.attend(q, self_k, self_v, step_mask, True)
+        ctx = cached_decode_attention(q[:, :, 0], self_k, self_v, pos)
+        attn_out = self.self_attn.out(
+            self.self_attn._merge(ctx[:, :, None, :])
+        )
         q_res = attn_out + x
         qn = self.ln2(q_res)
         qq = self.cross_attn.project_q(qn)
@@ -229,7 +238,10 @@ class Decoder(nn.Module):
         _, proj = self.layers.project_memory(
             jnp.zeros((), jnp.int32), {}, {"memory": memory}
         )
-        zeros = jnp.zeros((c.num_layers, b, h, c.max_len, hd), dtype=self.dtype)
+        # cache length rounded up to a 128 multiple: aligns TPU tiles and
+        # the pallas decode-attention chunking
+        t_cache = ((c.max_len + 127) // 128) * 128
+        zeros = jnp.zeros((c.num_layers, b, h, t_cache, hd), dtype=self.dtype)
         return {
             "self_k": zeros,
             "self_v": jnp.zeros_like(zeros),
@@ -245,9 +257,6 @@ class Decoder(nn.Module):
         """
         c = self.cfg
         x = self.embed_tokens(token[:, None], pos)
-        # mask future cache positions: (1, 1, 1, max_len)
-        positions = jnp.arange(c.max_len)[None, None, None, :]
-        step_mask = positions > pos
         x, new = self.layers.cached_step(
             x,
             {
@@ -256,7 +265,7 @@ class Decoder(nn.Module):
                 "mem_k": cache["mem_k"],
                 "mem_v": cache["mem_v"],
             },
-            {"pos": pos, "step_mask": step_mask},
+            {"pos": pos},
         )
         cache = {
             "self_k": new["self_k"],

@@ -1,0 +1,158 @@
+"""Pallas TPU kernel: single-token decode attention over a KV cache.
+
+The hot op of autoregressive decoding: at step ``pos`` the query attends to
+cache positions ``0..pos``.  The XLA fallback reads the FULL ``max_len``
+cache every step and masks the tail — at 480 steps that is ~2x the
+necessary HBM traffic on average.  This kernel makes the prefix skip real:
+
+* the grid is ``(B, n_chunks)`` over 128-position cache chunks;
+* ``pos`` is a scalar-prefetch operand, so the BlockSpec ``index_map``
+  clamps out-of-range chunk indices to the last valid chunk — Mosaic skips
+  the DMA when the block index repeats, so chunks beyond ``pos`` are never
+  fetched from HBM;
+* softmax runs online (flash-attention style running max/sum) across chunk
+  iterations in VMEM scratch.
+
+Shapes: q (B, H, d), k/v (B, H, T, d) with T a multiple of the chunk.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+CHUNK = 128
+
+
+def _kernel(pos_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    pos = pos_ref[0]
+
+    @pl.when(c == 0)
+    def _init():
+        for hh in range(m_ref.shape[0]):  # SMEM takes scalar stores only
+            m_ref[hh, 0] = -1e30
+            l_ref[hh, 0] = 0.0
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    chunk_start = c * CHUNK
+
+    @pl.when(chunk_start <= pos)
+    def _attend():
+        q = q_ref[0].astype(jnp.float32)  # (H, d)
+        d = q.shape[-1]
+        h_heads = q.shape[0]
+        scale = 1.0 / (d ** 0.5)
+        t_idx = chunk_start + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        invalid = t_idx > pos  # (CHUNK, 1)
+        # static per-head loop: Mosaic lowers plain 2D dots, not batched dims
+        for hh in range(h_heads):
+            kh = k_ref[0, hh].astype(jnp.float32)  # (CHUNK, d)
+            vh = v_ref[0, hh].astype(jnp.float32)  # (CHUNK, d)
+            qh = q[hh].reshape(d, 1)  # (d, 1)
+            scores = (
+                jnp.dot(kh, qh, preferred_element_type=jnp.float32) * scale
+            )  # (CHUNK, 1)
+            scores = jnp.where(invalid, -1e30, scores)
+            m_prev = m_ref[hh, 0]
+            m_new = jnp.maximum(m_prev, scores.max())
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(scores - m_new)  # (CHUNK, 1)
+            l_new = l_ref[hh, 0] * alpha + p.sum()
+            ctx = jnp.dot(p.T, vh, preferred_element_type=jnp.float32)  # (1, d)
+            acc_ref[hh : hh + 1, :] = acc_ref[hh : hh + 1, :] * alpha + ctx
+            m_ref[hh, 0] = m_new
+            l_ref[hh, 0] = l_new
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        h_heads = acc_ref.shape[0]
+        for hh in range(h_heads):
+            denom = jnp.maximum(l_ref[hh, 0], 1e-30)
+            o_ref[0, hh : hh + 1, :] = (acc_ref[hh : hh + 1, :] / denom).astype(
+                o_ref.dtype
+            )
+
+
+def decode_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, pos: jnp.ndarray
+) -> jnp.ndarray:
+    """q: (B, H, d); k/v: (B, H, T, d); pos: scalar int32 (current step).
+
+    Returns the attention context (B, H, d).  T must be a multiple of 128.
+    """
+    b, h, t, d = k.shape
+    assert t % CHUNK == 0, f"cache length {t} not a multiple of {CHUNK}"
+    n_chunks = t // CHUNK
+    pos_arr = jnp.reshape(pos.astype(jnp.int32), (1,))
+
+    def q_map(bi, ci, pos_ref):
+        return (bi, 0, 0)
+
+    def kv_map(bi, ci, pos_ref):
+        # clamp chunks beyond the valid prefix to the last valid chunk:
+        # a repeated block index skips the HBM fetch
+        last_valid = jax.lax.div(pos_ref[0], CHUNK)
+        return (bi, 0, jnp.minimum(ci, last_valid), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, h, d), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, CHUNK, d), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, CHUNK, d), kv_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, d), q_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((h, 1), jnp.float32),  # running max (scalar per head)
+            pltpu.SMEM((h, 1), jnp.float32),  # running denom
+            pltpu.VMEM((h, d), jnp.float32),  # numerator accumulator
+        ],
+    )
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        grid_spec=grid_spec,
+    )(pos_arr, q, k, v)
+
+
+def use_pallas() -> bool:
+    """Pallas kernels run on TPU backends; CPU tests use the XLA reference."""
+    import os
+
+    if os.environ.get("MOLNEXTR_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def cached_decode_attention(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, pos: jnp.ndarray
+) -> jnp.ndarray:
+    """Dispatch to the pallas kernel on TPU, XLA reference elsewhere."""
+    if use_pallas() and k.shape[2] % CHUNK == 0:
+        return decode_attention(q, k, v, pos)
+    return decode_attention_reference(q, k, v, pos)
+
+
+def decode_attention_reference(
+    q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, pos: jnp.ndarray
+) -> jnp.ndarray:
+    """Pure-XLA reference used for testing and as a CPU fallback."""
+    d = q.shape[-1]
+    scores = jnp.einsum("bhd,bhtd->bht", q.astype(jnp.float32), k.astype(jnp.float32))
+    scores = scores / (d ** 0.5)
+    t_idx = jnp.arange(k.shape[2])
+    scores = jnp.where(t_idx[None, None] > pos, -1e30, scores)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bht,bhtd->bhd", p, v.astype(jnp.float32))
+    return out.astype(q.dtype)
