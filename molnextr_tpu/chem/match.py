@@ -16,6 +16,19 @@ from typing import Dict, List, Optional, Set, Tuple
 from molnextr_tpu.chem.mol import Mol
 
 
+def _composition(mol: Mol):
+    """Multiset of (symbol, charge, aromatic) per atom, cached on the Mol."""
+    from collections import Counter
+
+    key = (mol.num_atoms(), sum(1 for _ in mol.iter_bonds()))
+    cached = getattr(mol, "_composition_cache", None)
+    if cached is not None and cached[0] == key:
+        return cached[1]
+    c = Counter((a.symbol, a.charge, bool(a.aromatic)) for a in mol.atoms)
+    mol._composition_cache = (key, c)
+    return c
+
+
 def _atoms_compatible(pat: Mol, p: int, mol: Mol, m: int) -> bool:
     pa, ma = pat.atoms[p], mol.atoms[m]
     if pa.symbol != ma.symbol:
@@ -47,6 +60,17 @@ def find_substructures(
     np_, nm = pattern.num_atoms(), mol.num_atoms()
     if np_ == 0 or np_ > nm:
         return []
+    # composition pre-filter: if the pattern needs more atoms of some
+    # (element, charge, aromatic) type than the molecule has, no match is
+    # possible — skip the expensive search entirely
+    if _composition(pattern) - _composition(mol):
+        return []
+    # native C++ fast path (the host hot loop of synthetic data generation)
+    from molnextr_tpu.native import find_substructures_native
+
+    native = find_substructures_native(mol, pattern, attachment_free, max_matches)
+    if native is not None:
+        return native
     matches: List[Dict[int, int]] = []
     seen_atomsets: Set[frozenset] = set()
 
