@@ -1,0 +1,264 @@
+"""Benchmark suites matching BASELINE.json's five configs.
+
+1. single-image greedy ``get_predictions``
+2. batch beam-search inference on synthetic renders
+3. dataset eval (CSV of SMILES / file paths) with graph exact-match scoring
+4. perturbed robustness suite (clutter-noise transforms)
+5. train-style host+device throughput with full augmentation
+
+Each suite returns a dict; ``run_all`` aggregates into one report.  Suites
+that need real eval CSVs (CLEF/UOB/USPTO/JPO/Staker/ACS) accept file paths
+and fall back to synthetic data when absent.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from typing import Any, Dict, List, Optional, Sequence
+
+import numpy as np
+
+from molnextr_tpu.config import Config
+
+
+def _engine(cfg: Config, params=None):
+    import jax.numpy as jnp
+
+    from molnextr_tpu.api import MolNexTR
+
+    return MolNexTR(cfg=cfg, params=params, num_workers=4)
+
+
+def _synthetic_eval_set(n: int, seed: int = 0):
+    """Deterministic synthetic eval pairs (image, gold smiles)."""
+    import random
+
+    from molnextr_tpu.data.synthetic import generate_synthetic_image
+
+    random.seed(seed)
+    pool = [
+        "CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "CCN(CC)CC",
+        "C1CCCCC1", "c1ccc2ccccc2c1", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+        "C[C@H](N)C(=O)O", "COc1ccc(C=O)cc1", "CC(=O)NC1CCCCC1",
+    ]
+    images, golds = [], []
+    i = 0
+    while len(images) < n:
+        smi = pool[i % len(pool)]
+        i += 1
+        img, out, graph, ok = generate_synthetic_image(
+            smi, mol_augment=False, default_option=True
+        )
+        if ok:
+            images.append(img)
+            golds.append(out)
+    return images, golds
+
+
+def suite_single_image(model, image_path: str) -> Dict[str, Any]:
+    """Config 1: one-call prediction latency."""
+    t0 = time.perf_counter()
+    out = model.predict_final_results(image_path)
+    first = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    out = model.predict_final_results(image_path)
+    steady = time.perf_counter() - t0
+    return {
+        "suite": "single_image_greedy",
+        "first_call_s": round(first, 3),
+        "steady_s": round(steady, 3),
+        "smiles": out["predicted_smiles"],
+    }
+
+
+def suite_batch_inference(
+    cfg: Config, model, n: int = 32, beam: bool = True
+) -> Dict[str, Any]:
+    """Config 2: batch inference accuracy + throughput on synthetic."""
+    from molnextr_tpu.evaluation import SmilesEvaluator
+
+    images, golds = _synthetic_eval_set(n)
+    t0 = time.perf_counter()
+    preds = model.predict_images(images, batch_size=cfg.decode.batch_size)
+    dt = time.perf_counter() - t0
+    smiles = [p["predicted_smiles"] for p in preds]
+    scores = SmilesEvaluator(golds, num_workers=4).evaluate(smiles)
+    return {
+        "suite": "batch_beam" if cfg.decode.beam_size > 1 else "batch_greedy",
+        "n": n,
+        "img_per_s": round(n / dt, 2),
+        **{k: round(v, 4) if isinstance(v, float) else v for k, v in scores.items()},
+    }
+
+
+def suite_dataset_eval(
+    model, csv_path: Optional[str], n_fallback: int = 16
+) -> Dict[str, Any]:
+    """Config 3: real-dataset eval (graph exact match) or synthetic fallback."""
+    import os
+
+    from molnextr_tpu.evaluation import SmilesEvaluator
+
+    if csv_path and os.path.exists(csv_path):
+        import cv2
+        import pandas as pd
+
+        df = pd.read_csv(csv_path)
+        images, golds = [], []
+        for _, row in df.iterrows():
+            img = cv2.imread(str(row.get("file_path", "")))
+            if img is None:
+                continue
+            images.append(cv2.cvtColor(img, cv2.COLOR_BGR2RGB))
+            golds.append(row["SMILES"])
+        name = os.path.basename(csv_path)
+    else:
+        images, golds = _synthetic_eval_set(n_fallback, seed=7)
+        name = "synthetic-fallback"
+    preds = model.predict_images(images)
+    scores = SmilesEvaluator(golds, num_workers=4).evaluate(
+        [p["predicted_smiles"] for p in preds]
+    )
+    return {"suite": "dataset_eval", "dataset": name, "n": len(golds), **scores}
+
+
+def suite_perturbed(cfg: Config, model, n: int = 16) -> Dict[str, Any]:
+    """Config 4: robustness under clutter-noise perturbations."""
+    from molnextr_tpu.data.transforms import get_perturbation_transforms
+    from molnextr_tpu.evaluation import SmilesEvaluator
+
+    images, golds = _synthetic_eval_set(n, seed=3)
+    # perturb raw renders, then hand them to the normal prediction pipeline
+    perturb = get_perturbation_transforms(cfg.data.input_size)
+    noisy = []
+    for img in images:
+        out = perturb(image=img)["image"]
+        # un-normalize back to uint8 for the standard predict path
+        from molnextr_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+
+        raw = np.clip((out * IMAGENET_STD + IMAGENET_MEAN) * 255, 0, 255)
+        noisy.append(raw.astype(np.uint8))
+    preds = model.predict_images(noisy)
+    scores = SmilesEvaluator(golds, num_workers=4).evaluate(
+        [p["predicted_smiles"] for p in preds]
+    )
+    return {"suite": "perturbed", "n": n, **scores}
+
+
+def suite_train_throughput(
+    cfg: Config, n_batches: int = 3, num_workers: int = 8
+) -> Dict[str, Any]:
+    """Config 5: host pipeline + device step throughput at train batch size."""
+    import jax
+
+    from molnextr_tpu.data import DataLoader, Sample, TrainDataset
+    from molnextr_tpu.models.model import MolNexTRModel
+    from molnextr_tpu.parallel import make_mesh, shard_batch
+    from molnextr_tpu.tokenization import get_tokenizer
+    from molnextr_tpu.train import Criterion, create_train_state
+    from molnextr_tpu.train.loop import _dummy_init_batch
+    from molnextr_tpu.train.step import jit_train_step
+
+    pool = _synthetic_eval_set(1)[1] * 0  # noqa: unused
+    smiles = [
+        "CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "CCN(CC)CC",
+        "C1CCCCC1", "c1ccc2ccccc2c1", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
+        "C[C@H](N)C(=O)O",
+    ] * ((cfg.train.batch_size * (n_batches + 1)) // 8 + 1)
+    tokenizers = get_tokenizer(cfg.data)
+    ds = TrainDataset(cfg, [Sample(s) for s in smiles], tokenizers)
+    loader = DataLoader(ds, batch_size=cfg.train.batch_size, num_workers=num_workers)
+    mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+    import jax.numpy as jnp
+
+    model = MolNexTRModel(
+        cfg, {f: len(t) for f, t in tokenizers.items()},
+        dtype=jnp.bfloat16 if cfg.train.bf16 else jnp.float32,
+    )
+    state = create_train_state(
+        cfg, model, jax.random.PRNGKey(0), 100, _dummy_init_batch(cfg, tokenizers)
+    )
+    compiled = None
+    rng = jax.random.PRNGKey(1)
+    times = []
+    t_prev = time.perf_counter()
+    seen = 0
+    for i, batch in enumerate(loader):
+        if i > n_batches:
+            break
+        batch.pop("smiles", None)
+        batch["refs"].pop("num_atoms", None)
+        dev = shard_batch(mesh, batch)
+        if compiled is None:
+            compiled = jit_train_step(model, Criterion(cfg.data.formats), mesh, dev)
+        state, metrics = compiled(state, dev, rng)
+        jax.block_until_ready(metrics["loss"])
+        if i > 0:  # skip compile batch
+            times.append(time.perf_counter() - t_prev)
+            seen += cfg.train.batch_size
+        t_prev = time.perf_counter()
+    total = sum(times) if times else float("inf")
+    return {
+        "suite": "train_throughput",
+        "global_batch": cfg.train.batch_size,
+        "img_per_s": round(seen / total, 2) if times else 0.0,
+        "step_s": round(float(np.mean(times)), 3) if times else -1,
+    }
+
+
+def run_all(
+    cfg: Optional[Config] = None,
+    params=None,
+    image_path: str = "/root/reference/examples/1.png",
+    eval_csvs: Optional[Sequence[str]] = None,
+) -> List[Dict[str, Any]]:
+    import copy
+    import os
+
+    cfg = cfg or Config()
+    model = _engine(cfg, params)
+    report = []
+    if os.path.exists(image_path):
+        report.append(suite_single_image(model, image_path))
+    report.append(suite_batch_inference(cfg, model, n=32, beam=False))
+    cfg_beam = copy.deepcopy(cfg)
+    cfg_beam.decode.beam_size = 2
+    report.append(suite_batch_inference(cfg_beam, _engine(cfg_beam, model.params), n=8))
+    for csv in eval_csvs or [None]:
+        report.append(suite_dataset_eval(model, csv))
+    report.append(suite_perturbed(cfg, model))
+    report.append(suite_train_throughput(cfg))
+    return report
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="Run the benchmark suites")
+    p.add_argument("--model_path", type=str, default=None)
+    p.add_argument("--tiny", action="store_true", help="tiny config (CI/smoke)")
+    p.add_argument("--eval_csv", action="append", default=None)
+    p.add_argument("--output", type=str, default=None)
+    args = p.parse_args(argv)
+    params = None
+    if args.model_path:
+        from molnextr_tpu.checkpoint import load_model
+
+        cfg, params = load_model(args.model_path)
+    elif args.tiny:
+        from molnextr_tpu.config import tiny_test_config
+
+        cfg = tiny_test_config()
+    else:
+        cfg = Config()
+    report = run_all(cfg, params, eval_csvs=args.eval_csv)
+    text = json.dumps(report, indent=2, default=float)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+    print(text)
+
+
+if __name__ == "__main__":
+    main()

@@ -141,3 +141,25 @@ class TestDatasetLoader:
         batches = list(dl)
         assert len(batches) == 1
         assert batches[0]["images"].shape[0] == 1  # bad sample dropped
+
+
+class TestReaction:
+    def test_reaction_render_and_graph(self):
+        import random
+
+        random.seed(0)
+        from molnextr_tpu.data.reaction import generate_reaction_image
+
+        img, label, graph, ok = generate_reaction_image(
+            "CCO.CC(=O)O>[H+]>CCOC(C)=O.O"
+        )
+        assert ok
+        assert label.count(">") == 2
+        assert graph["num_atoms"] == len(graph["symbols"]) == len(graph["coords"])
+        assert graph["edges"].shape == (graph["num_atoms"], graph["num_atoms"])
+
+    def test_reaction_failure_flag(self):
+        from molnextr_tpu.data.reaction import generate_reaction_image
+
+        _, _, _, ok = generate_reaction_image("notareaction")
+        assert not ok
