@@ -153,3 +153,25 @@ class TestEdgeHead:
         params = gp.init(jax.random.PRNGKey(0), h, idx)
         out = gp.apply(params, h, idx)
         assert out["edges"].shape == (2, 7, 5, 5)
+
+
+class TestDANet:
+    def test_shapes_and_identity_at_init(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from molnextr_tpu.models.danet import ChannelAttention, DAHead, PositionAttention
+
+        x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 8, 16), jnp.float32)
+        pam = PositionAttention(16)
+        p = pam.init(jax.random.PRNGKey(0), x)
+        # alpha starts at 0 -> identity
+        np.testing.assert_allclose(np.asarray(pam.apply(p, x)), np.asarray(x), rtol=1e-5)
+        cam = ChannelAttention()
+        pc = cam.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(np.asarray(cam.apply(pc, x)), np.asarray(x), rtol=1e-5)
+        head = DAHead(out_channels=4)
+        ph = head.init(jax.random.PRNGKey(0), x)
+        out = head.apply(ph, x)
+        assert out.shape == (2, 8, 8, 4)
