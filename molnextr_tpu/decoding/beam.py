@@ -48,6 +48,8 @@ def _gather_beams(tree, beam_idx: jnp.ndarray, b: int, k: int, batch_axis: int =
     flat_idx = (jnp.arange(b)[:, None] * k + beam_idx).reshape(-1)  # (B*K,)
 
     def gather(x):
+        if x.ndim <= batch_axis:  # scalar leaves (e.g. mem_len) pass through
+            return x
         return jnp.take(x, flat_idx, axis=batch_axis)
 
     return jax.tree_util.tree_map(gather, tree)

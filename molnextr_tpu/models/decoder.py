@@ -141,33 +141,49 @@ class DecoderLayer(nn.Module):
         mk, mv = self.cross_attn.project_kv(bcast["memory"])
         return carry, {"mem_k": mk, "mem_v": mv}
 
-    def cached_step(self, x, scanned, bcast):
-        """One-token forward against the static-shape cache slice.
+    def cached_step(self, carry, scanned, bcast):
+        """One-token forward against the stacked cache, scan-carry style.
 
-        Self-attention over the cache runs through the pallas
-        prefix-attention kernel on TPU (only chunks up to ``pos`` are read
-        from HBM); see :mod:`molnextr_tpu.ops.decode_attention`.
+        The FULL stacked caches ride in the scan *carry* and are updated in
+        place with ``dynamic_update_slice`` at ``(layer, ...)`` — passing
+        them through scan xs/ys would copy all ~800MB of cache every decode
+        step (measured: 2x403MB HLO copies).  Attention reads go through
+        the pallas layered prefix-attention kernel, which reads the valid
+        chunks of layer ``l`` straight from the stacked HBM array; cross
+        attention uses the same kernel over the (padded) memory cache.
         """
-        from molnextr_tpu.ops.decode_attention import cached_decode_attention
+        from molnextr_tpu.ops.decode_attention import (
+            cached_decode_attention_layered,
+        )
 
+        x, self_k, self_v = carry
+        layer_idx = scanned["layer_idx"]
         pos = bcast["pos"]
-        self_k, self_v = scanned["self_k"], scanned["self_v"]
-        mem_k, mem_v = scanned["mem_k"], scanned["mem_v"]
+        mem_k, mem_v = bcast["mem_k"], bcast["mem_v"]
+        mem_len = bcast["mem_len"]
+
         xn = self.ln1(x)
         q = self.self_attn.project_q(xn)
         k_new, v_new = self.self_attn.project_kv(xn)
-        self_k = jax.lax.dynamic_update_slice(self_k, k_new, (0, 0, pos, 0))
-        self_v = jax.lax.dynamic_update_slice(self_v, v_new, (0, 0, pos, 0))
-        ctx = cached_decode_attention(q[:, :, 0], self_k, self_v, pos)
-        attn_out = self.self_attn.out(
-            self.self_attn._merge(ctx[:, :, None, :])
+        self_k = jax.lax.dynamic_update_slice(
+            self_k, k_new[None], (layer_idx, 0, 0, pos, 0)
         )
+        self_v = jax.lax.dynamic_update_slice(
+            self_v, v_new[None], (layer_idx, 0, 0, pos, 0)
+        )
+        ctx = cached_decode_attention_layered(
+            q[:, :, 0], self_k, self_v, pos, layer_idx
+        )
+        attn_out = self.self_attn.out(self.self_attn._merge(ctx[:, :, None, :]))
         q_res = attn_out + x
         qn = self.ln2(q_res)
         qq = self.cross_attn.project_q(qn)
-        mid = self.cross_attn.attend(qq, mem_k, mem_v, None, True)
+        cross_ctx = cached_decode_attention_layered(
+            qq[:, :, 0], mem_k, mem_v, mem_len - 1, layer_idx
+        )
+        mid = self.cross_attn.out(self.cross_attn._merge(cross_ctx[:, :, None, :]))
         out = self.ffn(mid + q_res, True)
-        return out, {"self_k": self_k, "self_v": self_v}
+        return (out, self_k, self_v), {}
 
 
 class Decoder(nn.Module):
@@ -238,15 +254,21 @@ class Decoder(nn.Module):
         _, proj = self.layers.project_memory(
             jnp.zeros((), jnp.int32), {}, {"memory": memory}
         )
-        # cache length rounded up to a 128 multiple: aligns TPU tiles and
-        # the pallas decode-attention chunking
+        # cache lengths rounded up to a 128 multiple: aligns TPU tiles and
+        # the pallas decode-attention chunking (padded memory positions are
+        # masked inside the kernel via mem_len)
         t_cache = ((c.max_len + 127) // 128) * 128
+        m = proj["mem_k"].shape[-2]
+        m_pad = ((m + 127) // 128) * 128 - m
+        mem_k = jnp.pad(proj["mem_k"], ((0, 0), (0, 0), (0, 0), (0, m_pad), (0, 0)))
+        mem_v = jnp.pad(proj["mem_v"], ((0, 0), (0, 0), (0, 0), (0, m_pad), (0, 0)))
         zeros = jnp.zeros((c.num_layers, b, h, t_cache, hd), dtype=self.dtype)
         return {
             "self_k": zeros,
             "self_v": jnp.zeros_like(zeros),
-            "mem_k": proj["mem_k"],
-            "mem_v": proj["mem_v"],
+            "mem_k": mem_k,
+            "mem_v": mem_v,
+            "mem_len": jnp.asarray(m, jnp.int32),
         }
 
     def step(self, token, pos, cache, deterministic=True):
@@ -257,20 +279,22 @@ class Decoder(nn.Module):
         """
         c = self.cfg
         x = self.embed_tokens(token[:, None], pos)
-        x, new = self.layers.cached_step(
-            x,
+        carry = (x, cache["self_k"], cache["self_v"])
+        (x, self_k, self_v), _ = self.layers.cached_step(
+            carry,
+            {"layer_idx": jnp.arange(c.num_layers, dtype=jnp.int32)},
             {
-                "self_k": cache["self_k"],
-                "self_v": cache["self_v"],
+                "pos": pos,
                 "mem_k": cache["mem_k"],
                 "mem_v": cache["mem_v"],
+                "mem_len": cache["mem_len"],
             },
-            {"pos": pos},
         )
         cache = {
-            "self_k": new["self_k"],
-            "self_v": new["self_v"],
+            "self_k": self_k,
+            "self_v": self_v,
             "mem_k": cache["mem_k"],
             "mem_v": cache["mem_v"],
+            "mem_len": cache["mem_len"],
         }
         return self.final_ln(x)[:, 0], cache

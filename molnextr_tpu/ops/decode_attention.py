@@ -123,6 +123,124 @@ def decode_attention(
     )(pos_arr, q, k, v)
 
 
+def _kernel_layered(pos_ref, layer_ref, q_ref, k_ref, v_ref, o_ref, m_ref, l_ref, acc_ref):
+    """Same online-softmax math as _kernel, but k/v blocks are 5D
+    (1, 1, h, CHUNK, d) slices of the stacked cache (Mosaic cannot slice a
+    sub-ref view, so indexing happens inline)."""
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    pos = pos_ref[0]
+
+    @pl.when(c == 0)
+    def _init():
+        for hh in range(m_ref.shape[0]):
+            m_ref[hh, 0] = -1e30
+            l_ref[hh, 0] = 0.0
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    chunk_start = c * CHUNK
+
+    @pl.when(chunk_start <= pos)
+    def _attend():
+        q = q_ref[0].astype(jnp.float32)  # (H, d)
+        d = q.shape[-1]
+        h_heads = q.shape[0]
+        scale = 1.0 / (d ** 0.5)
+        t_idx = chunk_start + jax.lax.broadcasted_iota(jnp.int32, (CHUNK, 1), 0)
+        invalid = t_idx > pos
+        for hh in range(h_heads):
+            kh = k_ref[0, 0, hh].astype(jnp.float32)  # (CHUNK, d)
+            vh = v_ref[0, 0, hh].astype(jnp.float32)
+            qh = q[hh].reshape(d, 1)
+            scores = jnp.dot(kh, qh, preferred_element_type=jnp.float32) * scale
+            scores = jnp.where(invalid, -1e30, scores)
+            m_prev = m_ref[hh, 0]
+            m_new = jnp.maximum(m_prev, scores.max())
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(scores - m_new)
+            l_new = l_ref[hh, 0] * alpha + p.sum()
+            ctx = jnp.dot(p.T, vh, preferred_element_type=jnp.float32)
+            acc_ref[hh : hh + 1, :] = acc_ref[hh : hh + 1, :] * alpha + ctx
+            m_ref[hh, 0] = m_new
+            l_ref[hh, 0] = l_new
+
+    @pl.when(c == n_chunks - 1)
+    def _finalize():
+        h_heads = acc_ref.shape[0]
+        for hh in range(h_heads):
+            denom = jnp.maximum(l_ref[hh, 0], 1e-30)
+            o_ref[0, hh : hh + 1, :] = (acc_ref[hh : hh + 1, :] / denom).astype(
+                o_ref.dtype
+            )
+
+
+def decode_attention_layered(
+    q: jnp.ndarray,
+    k_full: jnp.ndarray,
+    v_full: jnp.ndarray,
+    pos: jnp.ndarray,
+    layer: jnp.ndarray,
+) -> jnp.ndarray:
+    """Attention for one layer of a stacked cache, without slicing it.
+
+    q: (B, H, d); k_full/v_full: (L, B, H, T, d); pos/layer: scalars.
+    Reading directly from the stacked HBM array avoids materializing a
+    per-layer 67MB dynamic-slice copy inside the scan-over-layers step.
+    """
+    lcount, b, h, t, d = k_full.shape
+    assert t % CHUNK == 0, f"cache length {t} not a multiple of {CHUNK}"
+    n_chunks = t // CHUNK
+    pos_arr = jnp.reshape(pos.astype(jnp.int32), (1,))
+    layer_arr = jnp.reshape(layer.astype(jnp.int32), (1,))
+
+    def q_map(bi, ci, pos_ref, layer_ref):
+        return (bi, 0, 0)
+
+    def kv_map(bi, ci, pos_ref, layer_ref):
+        last_valid = jax.lax.div(pos_ref[0], CHUNK)
+        return (layer_ref[0], bi, 0, jnp.minimum(ci, last_valid), 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, h, d), q_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, CHUNK, d), kv_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, h, CHUNK, d), kv_map, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, d), q_map, memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.SMEM((h, 1), jnp.float32),
+            pltpu.SMEM((h, 1), jnp.float32),
+            pltpu.VMEM((h, d), jnp.float32),
+        ],
+    )
+
+    return pl.pallas_call(
+        _kernel_layered,
+        out_shape=jax.ShapeDtypeStruct((b, h, d), q.dtype),
+        grid_spec=grid_spec,
+    )(pos_arr, layer_arr, q, k_full, v_full)
+
+
+def decode_attention_layered_reference(
+    q: jnp.ndarray, k_full: jnp.ndarray, v_full: jnp.ndarray,
+    pos: jnp.ndarray, layer: jnp.ndarray,
+) -> jnp.ndarray:
+    k = jax.lax.dynamic_index_in_dim(k_full, layer, 0, keepdims=False)
+    v = jax.lax.dynamic_index_in_dim(v_full, layer, 0, keepdims=False)
+    return decode_attention_reference(q, k, v, pos)
+
+
+def cached_decode_attention_layered(
+    q: jnp.ndarray, k_full: jnp.ndarray, v_full: jnp.ndarray,
+    pos: jnp.ndarray, layer: jnp.ndarray,
+) -> jnp.ndarray:
+    if use_pallas() and k_full.shape[3] % CHUNK == 0:
+        return decode_attention_layered(q, k_full, v_full, pos, layer)
+    return decode_attention_layered_reference(q, k_full, v_full, pos, layer)
+
+
 def use_pallas() -> bool:
     """Pallas kernels run on TPU backends; CPU tests use the XLA reference."""
     import os
