@@ -136,6 +136,20 @@ class TrainDataset:
         return item
 
 
+def aux_train_dataset(
+    cfg: Config,
+    synthetic_samples: Sequence[Sample],
+    aux_samples: Sequence[Sample],
+    tokenizers: Dict[str, Any],
+) -> "TrainDataset":
+    """Synthetic + real concat (``AuxTrainDataset``, `dataset.py:534-548`):
+    dynamic Indigo-style rendering for SMILES-only samples, file loading for
+    aux samples with pre-labeled coords."""
+    return TrainDataset(
+        cfg, list(synthetic_samples) + list(aux_samples), tokenizers, split="train"
+    )
+
+
 def pad_batch(
     items: List[Dict[str, Any]],
     formats: Sequence[str],

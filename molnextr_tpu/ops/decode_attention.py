@@ -242,10 +242,18 @@ def cached_decode_attention_layered(
 
 
 def use_pallas() -> bool:
-    """Pallas kernels run on TPU backends; CPU tests use the XLA reference."""
+    """Whether to route decode attention through the pallas kernels.
+
+    Measured on v5e: XLA's fused masked attention over the carry-resident
+    cache runs at 3.6ms/step (batch 256) vs 16.7ms/step for the per-head
+    unrolled pallas kernels, so XLA is the default; set ``MOLNEXTR_PALLAS=1``
+    to opt in to the kernels (useful for kernel development).
+    """
     import os
 
     if os.environ.get("MOLNEXTR_NO_PALLAS"):
+        return False
+    if not os.environ.get("MOLNEXTR_PALLAS"):
         return False
     try:
         return jax.default_backend() == "tpu"

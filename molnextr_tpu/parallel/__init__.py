@@ -1,3 +1,10 @@
+from molnextr_tpu.parallel.distributed import (
+    barrier,
+    gather_arrays,
+    initialize,
+    is_main_process,
+    process_count,
+)
 from molnextr_tpu.parallel.mesh import (
     data_sharding,
     local_batch_size,
@@ -14,4 +21,9 @@ __all__ = [
     "shard_batch",
     "local_batch_size",
     "pad_to_devices",
+    "initialize",
+    "process_count",
+    "is_main_process",
+    "gather_arrays",
+    "barrier",
 ]

@@ -35,6 +35,9 @@ def main(argv=None):
                    help="CSV with a SMILES column (synthetic rendering) and "
                         "optionally file_path for real images")
     p.add_argument("--valid_file", type=str, default=None)
+    p.add_argument("--aux_file", type=str, default=None,
+                   help="extra real-image CSV concatenated with the synthetic "
+                        "set (the AuxTrainDataset pattern)")
     p.add_argument("--data_path", type=str, default="",
                    help="prefix for relative file_path entries")
     p.add_argument("--config", type=str, default=None, help="config JSON")
@@ -82,6 +85,8 @@ def main(argv=None):
         return out
 
     train_samples = load_samples(args.train_file)
+    if args.aux_file:
+        train_samples = train_samples + load_samples(args.aux_file)
     if args.max_samples:
         train_samples = train_samples[: args.max_samples]
     valid_samples = load_samples(args.valid_file) if args.valid_file else None
