@@ -449,10 +449,10 @@ def get_tokenizer(data_cfg) -> Dict[str, Tokenizer]:
     tokenizer: Dict[str, Tokenizer] = {}
     for fmt in data_cfg.formats:
         if fmt == "atomtok":
-            path = data_cfg.vocab_file or default_vocab_path("vocab_atoms.json")
+            path = data_cfg.vocab_file or default_vocab_path("vocab_uspto.json")
             tokenizer[fmt] = Tokenizer(path)
         elif fmt == "atomtok_coords":
-            path = data_cfg.vocab_file or default_vocab_path("vocab_atoms.json")
+            path = data_cfg.vocab_file or default_vocab_path("vocab_uspto.json")
             tokenizer[fmt] = NodeTokenizer(
                 data_cfg.coord_bins, path, data_cfg.sep_xy,
                 continuous_coords=data_cfg.continuous_coords,
