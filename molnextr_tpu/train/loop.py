@@ -62,9 +62,12 @@ def evaluate_model(
     valid_samples: Sequence[Sample],
     num_workers: int = 8,
     batch_size: Optional[int] = None,
+    dump_csv: Optional[str] = None,
 ) -> Dict[str, Any]:
     """Greedy-decode the validation set and score it
-    (`main.py:430-529`)."""
+    (`main.py:430-529`).  ``dump_csv`` writes the predictions CSV with
+    JSON-encoded node_coords/node_symbols/edges columns
+    (`main.py:531-540`, `utils.py:145-163`)."""
     from molnextr_tpu.chem.graph import convert_graph_to_smiles
     from molnextr_tpu.evaluation import SmilesEvaluator
     from molnextr_tpu.inference import InferenceEngine
@@ -117,6 +120,26 @@ def evaluate_model(
     evaluator = SmilesEvaluator(golds[: len(smiles_list)], num_workers=num_workers)
     scores = evaluator.evaluate(smiles_list)
     scores["n"] = len(smiles_list)
+    if dump_csv:
+        import pandas as pd
+
+        from molnextr_tpu.utils import format_df
+
+        df = pd.DataFrame(
+            {
+                "image_id": list(range(len(smiles_list))),
+                "gold_SMILES": golds[: len(smiles_list)],
+                "SMILES": smiles_list,
+                "node_coords": coords,
+                "node_symbols": symbols,
+                "edges": [
+                    e.tolist() if hasattr(e, "tolist") else e for e in edges
+                ],
+            }
+        )
+        format_df(df).to_csv(dump_csv, index=False)
+        with open(dump_csv.replace(".csv", "_scores.json"), "w") as f:
+            json.dump({k: v for k, v in scores.items()}, f, indent=2)
     return scores
 
 
@@ -127,9 +150,29 @@ def train_loop(
     num_workers: Optional[int] = None,
     print_freq: int = 50,
     do_eval: bool = True,
+    save_images: int = 0,
+    profile_steps: int = 0,
 ) -> TrainState:
-    """Full training run; returns the final state."""
+    """Full training run; returns the final state.
+
+    ``save_images`` dumps the first N synthetic renders for inspection
+    (the reference's ``--save_image``, `dataset.py:404-407`);
+    ``profile_steps`` captures a jax profiler trace of that many steps into
+    ``save_path/profile`` (the tracing hook, SURVEY.md section 5).
+    """
     seed_everything(cfg.train.seed)
+    if save_images > 0:
+        import cv2
+
+        from molnextr_tpu.data.synthetic import generate_synthetic_image
+
+        img_dir = os.path.join(cfg.train.save_path, "images")
+        os.makedirs(img_dir, exist_ok=True)
+        for i, sample in enumerate(train_samples[:save_images]):
+            if sample.image_path is None:
+                img, _, _, ok = generate_synthetic_image(sample.smiles)
+                if ok:
+                    cv2.imwrite(os.path.join(img_dir, f"{i}.png"), img)
     mesh = make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
     n_dev = mesh.devices.size
     tokenizers = get_tokenizer(cfg.data)
@@ -182,8 +225,13 @@ def train_loop(
             dev_batch = shard_batch(mesh, batch)
             if compiled is None:
                 compiled = jit_train_step(model, criterion, mesh, dev_batch)
+            if profile_steps and global_step == 1:
+                jax.profiler.start_trace(os.path.join(cfg.train.save_path, "profile"))
             state, metrics = compiled(state, dev_batch, rng)
             global_step += 1
+            if profile_steps and global_step == 1 + profile_steps:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
             if bidx % print_freq == 0 or bidx == steps_per_epoch - 1:
                 host = {k: float(v) for k, v in metrics.items()}
                 loss_meter.update(host.pop("loss"), host, n=cfg.train.batch_size)
