@@ -137,12 +137,8 @@ class DecoderLayer(nn.Module):
 
     def project_memory(self, carry, scanned, bcast):
         """Precompute cross-attention K/V once per sequence (the cache's
-        ``memory_keys/values``, reference `decoder.py:438-448`).
-
-        Head-folded layout (B, M, D): the raw projection output, 128-aligned
-        in the lane dim — a (B, H, M, d=32) layout pads TPU tiles 4x."""
-        mk = self.cross_attn.k_proj(bcast["memory"])
-        mv = self.cross_attn.v_proj(bcast["memory"])
+        ``memory_keys/values``, reference `decoder.py:438-448`)."""
+        mk, mv = self.cross_attn.project_kv(bcast["memory"])
         return carry, {"mem_k": mk, "mem_v": mv}
 
     def cached_step(self, carry, scanned, bcast):
@@ -156,34 +152,36 @@ class DecoderLayer(nn.Module):
         chunks of layer ``l`` straight from the stacked HBM array; cross
         attention uses the same kernel over the (padded) memory cache.
         """
-        from molnextr_tpu.ops.folded_attention import cached_folded_attention
+        from molnextr_tpu.ops.decode_attention import (
+            cached_decode_attention_layered,
+        )
 
         x, self_k, self_v = carry
         layer_idx = scanned["layer_idx"]
         pos = bcast["pos"]
         mem_k, mem_v = bcast["mem_k"], bcast["mem_v"]
         mem_len = bcast["mem_len"]
-        h = self.cfg.attn_heads
 
         xn = self.ln1(x)
-        q = self.self_attn.q_proj(xn)[:, 0]  # (B, D), head-folded
-        k_new = self.self_attn.k_proj(xn)  # (B, 1, D)
-        v_new = self.self_attn.v_proj(xn)
+        q = self.self_attn.project_q(xn)
+        k_new, v_new = self.self_attn.project_kv(xn)
         self_k = jax.lax.dynamic_update_slice(
-            self_k, k_new[None], (layer_idx, 0, pos, 0)
+            self_k, k_new[None], (layer_idx, 0, 0, pos, 0)
         )
         self_v = jax.lax.dynamic_update_slice(
-            self_v, v_new[None], (layer_idx, 0, pos, 0)
+            self_v, v_new[None], (layer_idx, 0, 0, pos, 0)
         )
-        ctx = cached_folded_attention(q, self_k, self_v, pos, layer_idx, h)
-        attn_out = self.self_attn.out(ctx[:, None])
+        ctx = cached_decode_attention_layered(
+            q[:, :, 0], self_k, self_v, pos, layer_idx
+        )
+        attn_out = self.self_attn.out(self.self_attn._merge(ctx[:, :, None, :]))
         q_res = attn_out + x
         qn = self.ln2(q_res)
-        qq = self.cross_attn.q_proj(qn)[:, 0]
-        cross_ctx = cached_folded_attention(
-            qq, mem_k, mem_v, mem_len - 1, layer_idx, h
+        qq = self.cross_attn.project_q(qn)
+        cross_ctx = cached_decode_attention_layered(
+            qq[:, :, 0], mem_k, mem_v, mem_len - 1, layer_idx
         )
-        mid = self.cross_attn.out(cross_ctx[:, None])
+        mid = self.cross_attn.out(self.cross_attn._merge(cross_ctx[:, :, None, :]))
         out = self.ffn(mid + q_res, True)
         return (out, self_k, self_v), {}
 
@@ -258,13 +256,13 @@ class Decoder(nn.Module):
         )
         # cache lengths rounded up to a 128 multiple: aligns TPU tiles and
         # the pallas decode-attention chunking (padded memory positions are
-        # masked via mem_len); layout is head-folded (L, B, T, D)
+        # masked inside the kernel via mem_len)
         t_cache = ((c.max_len + 127) // 128) * 128
         m = proj["mem_k"].shape[-2]
         m_pad = ((m + 127) // 128) * 128 - m
-        mem_k = jnp.pad(proj["mem_k"], ((0, 0), (0, 0), (0, m_pad), (0, 0)))
-        mem_v = jnp.pad(proj["mem_v"], ((0, 0), (0, 0), (0, m_pad), (0, 0)))
-        zeros = jnp.zeros((c.num_layers, b, t_cache, c.hidden_size), dtype=self.dtype)
+        mem_k = jnp.pad(proj["mem_k"], ((0, 0), (0, 0), (0, 0), (0, m_pad), (0, 0)))
+        mem_v = jnp.pad(proj["mem_v"], ((0, 0), (0, 0), (0, 0), (0, m_pad), (0, 0)))
+        zeros = jnp.zeros((c.num_layers, b, h, t_cache, hd), dtype=self.dtype)
         return {
             "self_k": zeros,
             "self_v": jnp.zeros_like(zeros),

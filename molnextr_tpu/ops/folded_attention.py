@@ -146,13 +146,15 @@ def folded_decode_attention_reference(
     b, t, d_model = k.shape
     hd = d_model // n_heads
     qh = q.reshape(b, n_heads, hd)
-    kh = k.reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
-    vh = v.reshape(b, t, n_heads, hd).transpose(0, 2, 1, 3)
-    s = jnp.einsum("bhd,bhtd->bht", qh.astype(jnp.float32), kh.astype(jnp.float32))
+    kh = k.reshape(b, t, n_heads, hd)
+    vh = v.reshape(b, t, n_heads, hd)
+    # transpose-free einsums: contract on the folded layout directly so XLA
+    # fuses the mask/softmax without materializing a (B,H,T,d) copy
+    s = jnp.einsum("bhd,bthd->bht", qh.astype(jnp.float32), kh.astype(jnp.float32))
     s = s / (hd ** 0.5)
     s = jnp.where(jnp.arange(t)[None, None] > pos, -1e30, s)
     p = jax.nn.softmax(s, axis=-1)
-    ctx = jnp.einsum("bht,bhtd->bhd", p, vh.astype(jnp.float32))
+    ctx = jnp.einsum("bht,bthd->bhd", p, vh.astype(jnp.float32))
     return ctx.reshape(b, d_model).astype(q.dtype)
 
 
