@@ -65,6 +65,7 @@ class DecoderConfig:
     attn_dropout: float = 0.1
     enc_pos_emb: bool = False  # optional 144-slot encoder pos emb (`components.py:187`)
     max_len: int = 480  # FORMAT_INFO cap (`utils.py:24-25`)
+    use_remat: bool = True  # rematerialize decoder layers in training
 
 
 @dataclass

@@ -152,8 +152,14 @@ def convert_checkpoint(
     for fmt in seq_fmts:
         params[f"decoders_{fmt}"] = convert_decoder_format(dec_sd, cfg, fmt)
     if "edges" in cfg.data.formats:
+        # the reference's concat-input Linear (D, 2D) factors into row/col
+        # halves (heads.py GraphPredictor): kernel rows [0:D] act on atom i,
+        # rows [D:2D] on atom j
+        mlp1 = _linear(dec_sd, "decoder.edges.mlp.0")
+        d_in = mlp1["kernel"].shape[0] // 2
         head = {
-            "mlp1": _linear(dec_sd, "decoder.edges.mlp.0"),
+            "mlp1_row": {"kernel": mlp1["kernel"][:d_in], "bias": mlp1["bias"]},
+            "mlp1_col": {"kernel": mlp1["kernel"][d_in:]},
             "mlp2": _linear(dec_sd, "decoder.edges.mlp.2"),
         }
         if "decoder.edges.coords_mlp.0.weight" in dec_sd:

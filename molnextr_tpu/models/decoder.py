@@ -124,10 +124,16 @@ class DecoderLayer(nn.Module):
         self.drop = nn.Dropout(rate=c.hidden_dropout)
 
     def forward(self, x, scanned, bcast):
-        """Full-sequence teacher-forced layer."""
+        """Full-sequence teacher-forced layer.
+
+        Dropout is active iff a ``dropout`` rng was provided to apply() —
+        a trace-time scope check, so the layer stays remat-compatible (a
+        python ``deterministic`` flag in the broadcast args would be staged
+        into a tracer by nn.remat and break flax Dropout's bool branch).
+        """
         memory = bcast["memory"]
         self_mask = bcast["self_mask"]
-        det = bcast["det"]
+        det = not self.has_rng("dropout")
         xn = self.ln1(x)
         q = self.self_attn(xn, xn, xn, self_mask, det)
         q = self.drop(q, deterministic=det) + x
@@ -198,8 +204,15 @@ class Decoder(nn.Module):
         self.embed = nn.Embed(self.vocab_size, c.hidden_size, dtype=self.dtype,
                               embedding_init=nn.initializers.normal(0.02))
         self.pe = jnp.asarray(sinusoidal_positions(c.max_len + 8, c.hidden_size))
+        layer_cls = DecoderLayer
+        if c.use_remat:
+            # rematerialize the teacher-forced layer in the backward pass:
+            # the (B, H, T, T) attention intermediates at T=480 dominate
+            # training HBM otherwise (the reference equivalently relies on
+            # --use_checkpoint, `transformers.py:376-377`)
+            layer_cls = nn.remat(DecoderLayer, methods=["forward"])
         scan = nn.scan(
-            DecoderLayer,
+            layer_cls,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
             in_axes=(0, nn.broadcast),
@@ -236,7 +249,7 @@ class Decoder(nn.Module):
         if pad_mask is not None:
             self_mask = causal | pad_mask[:, None, None, :]
         x, _ = self.layers.forward(
-            x, {}, {"memory": memory, "self_mask": self_mask, "det": deterministic}
+            x, {}, {"memory": memory, "self_mask": self_mask}
         )
         return self.final_ln(x)
 

@@ -28,20 +28,25 @@ class GraphPredictor(nn.Module):
 
         Returns dict with ``edges`` logits (B, 7, K, K) and optionally
         ``coords`` (B, K, 2).
+
+        The reference materializes an all-pairs concat (B, K, K, 2D) and
+        pushes it through a Linear (`components.py:365-377`).  Factored
+        here: ``mlp1([a_i ; a_j]) == a_i @ W_row + a_j @ W_col + bias``, two
+        (B, K, D) matmuls plus a broadcast add — mathematically identical,
+        but the K^2-sized tensor only exists at the (cheap) GELU input, not
+        as a matmul operand (at B=256, K=128, D=512 the concat alone is
+        4.3GB).
         """
         b, t, d = hidden_states.shape
         gathered = jnp.take_along_axis(
             hidden_states, jnp.clip(indices, 0, t - 1)[..., None], axis=1
         )  # (B, K, D)
         k = gathered.shape[1]
-        hh = jnp.concatenate(
-            [
-                jnp.broadcast_to(gathered[:, :, None, :], (b, k, k, d)),
-                jnp.broadcast_to(gathered[:, None, :, :], (b, k, k, d)),
-            ],
-            axis=-1,
+        row = nn.Dense(self.hidden, dtype=self.dtype, name="mlp1_row")(gathered)
+        col = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype, name="mlp1_col")(
+            gathered
         )
-        y = nn.Dense(self.hidden, dtype=self.dtype, name="mlp1")(hh)
+        y = row[:, :, None, :] + col[:, None, :, :]  # (B, K, K, hidden)
         y = jax.nn.gelu(y, approximate=False)
         edges = nn.Dense(7, dtype=self.dtype, name="mlp2")(y)  # (B, K, K, 7)
         out = {"edges": edges.transpose(0, 3, 1, 2)}

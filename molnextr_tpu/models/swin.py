@@ -84,10 +84,12 @@ class WindowAttention(nn.Module):
         h = self.num_heads
         hd = self.dim // h
         qkv = nn.Dense(self.dim * 3, dtype=self.dtype, name="qkv")(x)
-        qkv = qkv.reshape(nb, n, 3, h, hd).transpose(2, 0, 3, 1, 4)
-        q, k, v = qkv[0], qkv[1], qkv[2]
+        # contract in (b, n, h, d) layout: no materialized head transpose
+        # of the (nB, N, 3C) tensor (the timm layout transposes it twice)
+        qkv = qkv.reshape(nb, n, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = jnp.asarray(hd ** -0.5, self.dtype)
-        attn = jnp.einsum("bhqd,bhkd->bhqk", q * scale, k)
+        attn = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
         bias_table = self.param(
             "rel_bias",
             nn.initializers.truncated_normal(0.02),
@@ -102,8 +104,7 @@ class WindowAttention(nn.Module):
             attn = jnp.where(mask[None, :, None], jnp.asarray(-1e9, attn.dtype), attn)
             attn = attn.reshape(nb, h, n, n)
         attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(nb, n, c)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(nb, n, c)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
 
