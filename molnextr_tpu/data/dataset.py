@@ -126,8 +126,15 @@ class TrainDataset:
         for fmt in self.formats:
             tok = self.tokenizers[fmt]
             max_len = min(FORMAT_INFO[fmt]["max_len"], self.cfg.decoder.max_len)
+            # samples with no coordinate labels (real images without a
+            # node_coords column) train with fully-masked coord slots so the
+            # atom/x/y interleave stays intact (mask_ratio=1 path,
+            # `dataset.py:452-456`)
+            mask_ratio = (
+                self.cfg.data.mask_ratio if coords01 is not None else 1.0
+            )
             labels, indices = tok.smiles_to_sequence(
-                smiles, coords01, mask_ratio=self.cfg.data.mask_ratio
+                smiles, coords01, mask_ratio=mask_ratio
             )
             item[fmt] = labels[:max_len]
             item[f"{fmt}_indices"] = [i for i in indices if i < max_len]

@@ -116,6 +116,22 @@ class Tokenizer:
     def sequence_to_smiles(self, sequence: Sequence[int]) -> Dict:
         return {"smiles": self.predict_caption(sequence)}
 
+    def smiles_to_sequence(
+        self,
+        smiles: str,
+        coords=None,
+        mask_ratio: float = 0.0,
+        atom_only: bool = False,
+    ) -> Tuple[List[int], List[int]]:
+        """Uniform dataset-facing interface: plain-SMILES tokenizers emit no
+        coordinate tokens and no atom indices."""
+        return self.text_to_sequence(smiles, tokenized=False), []
+
+    def constraint_tables(self) -> Tuple[np.ndarray, np.ndarray]:
+        """No grammar constraint for plain-SMILES decoding."""
+        n = max(len(self.stoi), 1)
+        return np.zeros((n,), dtype=np.int32), np.zeros((1, n), dtype=bool)
+
 
 class NodeTokenizer(Tokenizer):
     """Tokenizer with discretized coordinate tokens after every atom token.
