@@ -332,8 +332,14 @@ def generate_synthetic_image(
     """SMILES -> (image, label_smiles, graph, success)
     (`dataset.py:279-330`)."""
     try:
+        from molnextr_tpu.chem.stereo import perceive_db_stereo_from_directions
+
         mol = parse_smiles(smiles, strict=True)
         sanitize(mol, strict=False)
+        # keep cis/trans specs from the input's /\ markers so the output
+        # label preserves them (geometry honors the common trans default;
+        # cis double bonds are a known layout limitation)
+        perceive_db_stereo_from_directions(mol)
         if mol_augment:
             if random.random() < DEAROMATIZE_PROB:
                 dearomatize(mol, strict=False)

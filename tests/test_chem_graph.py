@@ -229,3 +229,38 @@ class TestEvaluator:
         res = ev.evaluate(["C[C@H](N)O", "CCO"])
         assert res["chiral"] == 1.0
         assert res["chiral_ratio"] == 0.5
+
+
+DRUGLIKE_CORPUS = [
+    "CC(=O)Oc1ccccc1C(=O)O", "Cn1cnc2c1c(=O)n(C)c(=O)n2C",
+    "CC(C)Cc1ccc(cc1)C(C)C(=O)O", "CC(=O)Nc1ccc(O)cc1",
+    "CN1CCC[C@H]1c1cccnc1", "OC[C@H]1O[C@@H](O)[C@H](O)[C@@H](O)[C@@H]1O",
+    "O=C(O)c1ccccc1O", "c1ccc2c(c1)ccc1ccccc12", "C1CC2(CC1)CCCC2",
+    "C1CC2CCC1CC2", "c1ccc(-c2ccccc2)cc1", "C/C=C\\C=C\\C",
+    "N[C@@H](Cc1c[nH]c2ccccc12)C(=O)O", "CSCC[C@H](N)C(=O)O",
+    "[O-]S(=O)(=O)c1ccccc1", "F[B-](F)(F)F", "CC[N+](CC)(CC)CC",
+    "O=[N+]([O-])c1ccc(Cl)cc1", "c1ccc2[nH]ccc2c1", "c1ccc2ncccc2c1",
+    "c1ccoc1", "c1ccsc1", "c1cc[nH]c1",
+    "CC1(C)SC2C(NC(=O)Cc3ccccc3)C(=O)N2C1C(=O)O",
+]
+
+
+class TestDruglikeCorpus:
+    def test_canonical_fixpoint(self):
+        for smi in DRUGLIKE_CORPUS:
+            c1, ok1 = canonicalize_smiles(smi)
+            c2, ok2 = canonicalize_smiles(c1)
+            assert ok1 and ok2 and c1 == c2, smi
+
+    def test_render_label_roundtrip(self):
+        import random
+
+        from molnextr_tpu.data.synthetic import generate_synthetic_image
+
+        random.seed(0)
+        for smi in DRUGLIKE_CORPUS:
+            img, out, graph, ok = generate_synthetic_image(
+                smi, mol_augment=False, default_option=True
+            )
+            assert ok, smi
+            assert canonicalize_smiles(out)[0] == canonicalize_smiles(smi)[0], smi
