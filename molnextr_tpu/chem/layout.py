@@ -133,6 +133,51 @@ def _place_ring(
     return out
 
 
+def _side_sign(axis_a: np.ndarray, axis_b: np.ndarray, p: np.ndarray) -> float:
+    ax = axis_b - axis_a
+    d = p - axis_a
+    return float(ax[0] * d[1] - ax[1] * d[0])
+
+
+def _enforce_db_stereo(mol: Mol, pos: Dict[int, np.ndarray], in_system: Dict[int, int]) -> None:
+    """Reflect branches across double-bond axes so drawn geometry matches
+    the parsed cis/trans specs (``mol.db_stereo``)."""
+    specs = getattr(mol, "db_stereo", None)
+    if not specs:
+        return
+    for (c1, n1, c2, n2, cis) in specs:
+        if c1 in in_system and c2 in in_system:
+            continue  # ring double bonds keep polygon geometry
+        if any(a not in pos for a in (c1, n1, c2, n2)):
+            continue
+        s1 = _side_sign(pos[c1], pos[c2], pos[n1])
+        s2 = _side_sign(pos[c1], pos[c2], pos[n2])
+        if abs(s1) < 1e-9 or abs(s2) < 1e-9:
+            continue
+        drawn_cis = (s1 > 0) == (s2 > 0)
+        if drawn_cis == cis:
+            continue
+        # collect the branch beyond c2 (not crossing back through c2->c1)
+        branch = set()
+        stack = [x for x in mol.neighbors(c2) if x != c1]
+        while stack:
+            a = stack.pop()
+            if a in branch or a == c2 or a == c1:
+                continue
+            branch.add(a)
+            stack.extend(x for x in mol.neighbors(a) if x not in branch and x != c2)
+        a0, a1v = pos[c1], pos[c2]
+        ax = a1v - a0
+        ln2 = float(ax @ ax)
+        if ln2 < 1e-12:
+            continue
+        for a in branch:
+            d = pos[a] - a0
+            # reflect across the c1->c2 line
+            proj = (d @ ax) / ln2 * ax
+            pos[a] = a0 + 2 * proj - d
+
+
 def layout(mol: Mol, jitter: float = 0.0, seed: Optional[int] = None) -> Mol:
     """Assign 2D coordinates (in place); bond length ~= 1."""
     if seed is not None:
@@ -237,6 +282,11 @@ def layout(mol: Mol, jitter: float = 0.0, seed: Optional[int] = None) -> Mol:
             for a in frag:
                 pos[a] = pos[a] + np.array([shift, 0.0])
         frag_offset = max(pos[a][0] for a in frag) + 2.0
+
+    # enforce cis/trans geometry: reflect the subtree past a double bond when
+    # its drawn side contradicts the molecule's db_stereo spec (the default
+    # zig-zag draws everything trans)
+    _enforce_db_stereo(mol, pos, in_system)
 
     # overlap relaxation: push non-bonded close pairs apart, but never move
     # ring atoms (their polygon geometry is authoritative)
