@@ -175,3 +175,37 @@ class TestDANet:
         ph = head.init(jax.random.PRNGKey(0), x)
         out = head.apply(ph, x)
         assert out.shape == (2, 8, 8, 4)
+
+
+class TestConvNeXt:
+    def test_convnext_encoder_end_to_end(self):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from molnextr_tpu.config import tiny_test_config
+        from molnextr_tpu.models.model import MolNexTRModel
+        from molnextr_tpu.tokenization import get_tokenizer
+
+        cfg = tiny_test_config()
+        cfg.encoder = dataclasses.replace(
+            cfg.encoder, name="convnext_test",
+            convnext_depths=(1, 1), convnext_dims=(16, 32),
+        )
+        toks = get_tokenizer(cfg.data)
+        model = MolNexTRModel(cfg, {f: len(t) for f, t in toks.items()})
+        refs = {
+            "chartok_coords": np.ones((2, 8), np.int32),
+            "atom_indices": np.zeros((2, cfg.data.max_atoms), np.int32),
+        }
+        imgs = np.zeros((2, cfg.data.input_size, cfg.data.input_size, 3), np.float32)
+        params = model.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(0)},
+            imgs, refs, deterministic=True,
+        )
+        out = model.apply(params, imgs, refs, deterministic=True)
+        assert np.isfinite(np.asarray(out["chartok_coords"], np.float32)).all()
+        mem = model.apply(params, imgs, method=MolNexTRModel.encode)
+        assert mem.shape[-1] == cfg.decoder.hidden_size
