@@ -281,7 +281,12 @@ class DataLoader:
                     yield batch
             return
 
-        ctx = mp.get_context("fork")
+        # fork is fast and fine here (workers touch only numpy/cv2/chem, not
+        # jax); set MOLNEXTR_MP_CONTEXT=spawn if the host jax runtime's
+        # threads ever deadlock a forked child
+        import os as _os
+
+        ctx = mp.get_context(_os.environ.get("MOLNEXTR_MP_CONTEXT", "fork"))
         with ctx.Pool(
             self.num_workers,
             initializer=_worker_init,

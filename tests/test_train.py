@@ -147,3 +147,18 @@ class TestShardedTrainStep:
             return float(metrics["loss"])
 
         np.testing.assert_allclose(run(1), run(2), rtol=1e-5)
+
+
+class TestDistributedHelpers:
+    def test_single_process_noops(self):
+        import numpy as np
+
+        from molnextr_tpu.parallel import (
+            barrier, gather_arrays, is_main_process, process_count,
+        )
+
+        assert process_count() == 1
+        assert is_main_process()
+        x = np.arange(6).reshape(2, 3)
+        np.testing.assert_array_equal(gather_arrays(x), x)
+        barrier()  # no-op, must not raise
