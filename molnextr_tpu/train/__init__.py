@@ -54,6 +54,11 @@ def main(argv=None):
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--no_eval", action="store_true")
     p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--resume", type=str, default=None,
+                   help="snapshot tag to restore (best/last/ep<N>) from "
+                        "save_path before training")
+    p.add_argument("--save_image", type=int, default=0,
+                   help="dump the first N synthetic renders to save_path/images")
     args = p.parse_args(argv)
 
     if args.config and os.path.exists(args.config):
@@ -96,4 +101,5 @@ def main(argv=None):
     train_loop(
         cfg, train_samples, valid_samples,
         num_workers=args.num_workers, do_eval=not args.no_eval,
+        save_images=args.save_image, resume=args.resume,
     )

@@ -152,6 +152,7 @@ def train_loop(
     do_eval: bool = True,
     save_images: int = 0,
     profile_steps: int = 0,
+    resume: Optional[str] = None,
 ) -> TrainState:
     """Full training run; returns the final state.
 
@@ -204,13 +205,18 @@ def train_loop(
     criterion = Criterion(cfg.data.formats, cfg.train.label_smoothing)
     compiled = None
     ckpt = CheckpointManager(cfg.train.save_path, cfg.train.save_mode)
+    start_epoch = 0
+    if resume:
+        state, meta = ckpt.restore(state, resume)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        print_rank_0(f"resumed from {resume}: step {int(state.step)}, epoch {start_epoch}")
     metrics_path = os.path.join(cfg.train.save_path, "metrics.jsonl")
     os.makedirs(cfg.train.save_path, exist_ok=True)
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
 
     global_step = int(state.step)
     start = time.time()
-    for epoch in range(cfg.train.epochs):
+    for epoch in range(start_epoch, cfg.train.epochs):
         loader.set_epoch(epoch)
         loss_meter = LossMeter()
         batch_time = AverageMeter()
