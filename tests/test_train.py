@@ -162,3 +162,33 @@ class TestDistributedHelpers:
         x = np.arange(6).reshape(2, 3)
         np.testing.assert_array_equal(gather_arrays(x), x)
         barrier()  # no-op, must not raise
+
+
+class TestTensorParallel:
+    def test_tp_matches_dp_loss(self):
+        """2D (data x model) sharded step must compute the same loss as
+        pure data-parallel."""
+        import numpy as np
+
+        if len(jax.devices()) < 4:
+            pytest.skip("needs >= 4 devices")
+        from molnextr_tpu.parallel.tp import shard_params
+        cfg = tiny_test_config()
+        tokenizers = get_tokenizer(cfg.data)
+        model = MolNexTRModel(cfg, {f: len(t) for f, t in tokenizers.items()})
+        batch = _dummy_batch(cfg, tokenizers, batch=4)
+
+        def run(mesh):
+            state = create_train_state(
+                cfg, model, jax.random.PRNGKey(0), total_steps=50, sample_batch=batch
+            )
+            if "model" in mesh.axis_names:
+                state = state.replace(params=shard_params(state.params, mesh))
+            dev_batch = shard_batch(mesh, jax.tree_util.tree_map(jnp.asarray, batch))
+            step = jit_train_step(model, Criterion(cfg.data.formats), mesh, dev_batch)
+            state, metrics = step(state, dev_batch, jax.random.PRNGKey(7))
+            return float(metrics["loss"])
+
+        dp = run(make_mesh((4,), ("data",), jax.devices()[:4]))
+        tp = run(make_mesh((2, 2), ("data", "model"), jax.devices()[:4]))
+        np.testing.assert_allclose(dp, tp, rtol=1e-5)
