@@ -138,6 +138,12 @@ class TrainDataset:
             )
             item[fmt] = labels[:max_len]
             item[f"{fmt}_indices"] = [i for i in indices if i < max_len]
+        if self.cfg.data.continuous_coords:
+            # regression targets for the coords head (`loss_fuc.py:24-31`);
+            # -1 marks atoms without labeled positions
+            item["coords"] = (
+                coords01 if coords01 is not None else np.zeros((0, 2), np.float32)
+            )
         if self.with_edges and edges is not None:
             item["edges"] = np.asarray(edges, np.int64)
         return item
@@ -190,6 +196,14 @@ def pad_batch(
             num_atoms[i] = len(idxs)
     refs["atom_indices"] = indices
     refs["num_atoms"] = num_atoms
+    if any("coords" in x for x in items if isinstance(x, dict)):
+        coords = np.full((b, max_atoms, 2), -1.0, np.float32)
+        for i, x in enumerate(items):
+            c = x.get("coords")
+            if c is not None and len(c):
+                kk = min(len(c), max_atoms)
+                coords[i, :kk] = c[:kk]
+        refs["coords"] = coords
     if "edges" in formats:
         edges = np.full((b, max_atoms, max_atoms), EDGE_IGNORE, np.int32)
         for i, x in enumerate(items):

@@ -163,3 +163,19 @@ class TestReaction:
 
         _, _, _, ok = generate_reaction_image("notareaction")
         assert not ok
+
+
+class TestContinuousCoords:
+    def test_batch_carries_coord_targets(self):
+        import dataclasses
+
+        cfg = tiny_test_config()
+        cfg.data = dataclasses.replace(cfg.data, continuous_coords=True)
+        ds = TrainDataset(cfg, [Sample("CCO")], get_tokenizer(cfg.data))
+        dl = DataLoader(ds, batch_size=1, num_workers=0)
+        batch = next(iter(dl))
+        coords = batch["refs"]["coords"]
+        assert coords.shape == (1, cfg.data.max_atoms, 2)
+        # three real atoms labeled, the rest -1 padded
+        assert (coords[0, :3] >= 0).all()
+        assert (coords[0, 3:] == -1).all()
