@@ -176,6 +176,8 @@ class TestContinuousCoords:
         batch = next(iter(dl))
         coords = batch["refs"]["coords"]
         assert coords.shape == (1, cfg.data.max_atoms, 2)
-        # three real atoms labeled, the rest -1 padded
-        assert (coords[0, :3] >= 0).all()
-        assert (coords[0, 3:] == -1).all()
+        # real atoms labeled (augmentation may add atoms), the rest -1 padded
+        n = int(batch["refs"]["num_atoms"][0])
+        assert n >= 3
+        assert (coords[0, :n] >= 0).all()
+        assert (coords[0, n:] == -1).all()
