@@ -67,7 +67,8 @@ def beam_decode(
     min_len: int = 1,
     use_constraint: bool = True,
     cache_batch_axis: int = 1,
-) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    return_all: bool = False,
+):
     """Run constrained beam search; returns the best hypothesis per image.
 
     step_fn(tokens (N,), pos, cache) -> (logits (N, V), hidden (N, D), cache)
@@ -182,4 +183,11 @@ def beam_decode(
     token_scores = take(final.token_scores)
     hiddens = take(final.hiddens)
     avg = jnp.exp(jnp.take_along_axis(norm, best[:, None], axis=1)[:, 0])
+    if return_all:
+        # all hypotheses sorted by normalized score (n-best surface,
+        # `beam_search.py:164-190`)
+        order = jnp.argsort(-norm, axis=1)  # (B, K)
+        all_seq = jnp.take_along_axis(final.seq, order[..., None], axis=1)
+        all_scores = jnp.exp(jnp.take_along_axis(norm, order, axis=1))
+        return seq, avg, token_scores, hiddens, all_seq, all_scores
     return seq, avg, token_scores, hiddens

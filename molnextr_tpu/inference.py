@@ -76,6 +76,7 @@ class InferenceEngine:
                 beam_size=self.cfg.decode.beam_size,
                 min_len=self.cfg.decode.min_length,
                 use_constraint=self._use_constraint,
+                return_all=self.cfg.decode.n_best > 1,
             )
         return greedy_decode(
             step_fn,
@@ -112,9 +113,10 @@ class InferenceEngine:
             if target != n:
                 pad = np.repeat(images[-1:], target - n, axis=0)
                 images = np.concatenate([images, pad], axis=0)
-        seq, avg_scores, token_scores, hiddens = self._decode_jit(
-            self.params, jnp.asarray(images)
-        )
+        out = self._decode_jit(self.params, jnp.asarray(images))
+        seq, avg_scores, token_scores, hiddens = out[:4]
+        all_seq = np.asarray(out[4])[:n] if len(out) > 4 else None
+        all_scores = np.asarray(out[5])[:n] if len(out) > 4 else None
         seq = np.asarray(seq)[:n]
         avg_scores = np.asarray(avg_scores)[:n]
         token_scores = np.asarray(token_scores)[:n]
@@ -129,6 +131,19 @@ class InferenceEngine:
             if compute_confidence:
                 pred[self.fmt]["atom_scores"] = self._atom_scores(parsed, token_scores[i])
                 pred[self.fmt]["average_token_score"] = float(avg_scores[i])
+            if all_seq is not None:
+                # n-best hypotheses (`beam_search.py:164-190`)
+                pred["beams"] = [
+                    {
+                        "smiles": self.tokenizer.sequence_to_smiles(
+                            all_seq[i, kbeam].tolist()
+                        )["smiles"],
+                        "score": float(all_scores[i, kbeam]),
+                    }
+                    for kbeam in range(
+                        min(self.cfg.decode.n_best, all_seq.shape[1])
+                    )
+                ]
             predictions.append(pred)
 
         if "edges" in self.cfg.data.formats:

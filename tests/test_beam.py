@@ -103,3 +103,19 @@ class TestBeamDecode:
         for p in preds:
             assert "smiles" in p["chartok_coords"]
             assert "edges" in p
+
+
+class TestNBest:
+    def test_n_best_hypotheses_surface(self, setup):
+        cfg, tokenizers, model, params, images = setup
+        import copy
+
+        cfg_b = copy.deepcopy(cfg)
+        cfg_b.decode = dataclasses.replace(cfg_b.decode, beam_size=3, n_best=3)
+        engine = InferenceEngine(cfg_b, tokenizers, model, params)
+        preds = engine.predict_images(np.zeros((2, 32, 32, 3), np.float32))
+        for p in preds:
+            assert len(p["beams"]) == 3
+            scores = [b["score"] for b in p["beams"]]
+            assert scores == sorted(scores, reverse=True)
+            assert p["beams"][0]["smiles"] == p["chartok_coords"]["smiles"]
