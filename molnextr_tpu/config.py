@@ -37,6 +37,7 @@ class EncoderConfig:
     ape: bool = False  # absolute position embedding
     patch_norm: bool = True
     use_remat: bool = True  # jax.checkpoint per block (ref: --use_checkpoint)
+    softmax_f32: bool = True  # f32 window-attention softmax (False halves traffic)
     # ConvNeXt alternative backbone
     convnext_depths: Tuple[int, ...] = (3, 3, 27, 3)
     convnext_dims: Tuple[int, ...] = (128, 256, 512, 1024)

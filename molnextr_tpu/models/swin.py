@@ -76,6 +76,7 @@ class WindowAttention(nn.Module):
     num_heads: int
     window_size: int
     dtype: Any = jnp.float32
+    softmax_f32: bool = True
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic=True):
@@ -103,7 +104,13 @@ class WindowAttention(nn.Module):
             attn = attn.reshape(nb // nw, nw, h, n, n)
             attn = jnp.where(mask[None, :, None], jnp.asarray(-1e9, attn.dtype), attn)
             attn = attn.reshape(nb, h, n, n)
-        attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        if self.softmax_f32:
+            attn = jax.nn.softmax(attn.astype(jnp.float32), axis=-1).astype(self.dtype)
+        else:
+            # bf16 softmax halves the traffic of the (nB, H, 144, 144)
+            # attention tensors (max-subtraction keeps it stable over 144
+            # logits); gate via EncoderConfig.softmax_f32
+            attn = jax.nn.softmax(attn, axis=-1)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v).reshape(nb, n, c)
         return nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
 
@@ -117,6 +124,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float
     drop_path: float
     dtype: Any = jnp.float32
+    softmax_f32: bool = True
 
     @nn.compact
     def __call__(self, x, deterministic=True):
@@ -133,9 +141,9 @@ class SwinBlock(nn.Module):
         mask = None
         if shift:
             mask = jnp.asarray(shift_attn_mask(hres, wres, ws, shift))
-        attn = WindowAttention(self.dim, self.num_heads, ws, self.dtype, name="attn")(
-            windows, mask, deterministic
-        )
+        attn = WindowAttention(
+            self.dim, self.num_heads, ws, self.dtype, self.softmax_f32, name="attn"
+        )(windows, mask, deterministic)
         x = window_reverse(attn, ws, hres, wres)
         if shift:
             x = jnp.roll(x, (shift, shift), axis=(1, 2))
@@ -213,6 +221,7 @@ class SwinEncoder(nn.Module):
                     mlp_ratio=c.mlp_ratio,
                     drop_path=float(dpr[blk]),
                     dtype=self.dtype,
+                    softmax_f32=c.softmax_f32,
                     name=f"stage{stage}_block{i}",
                 )(x, deterministic)
                 blk += 1
