@@ -72,9 +72,7 @@ def suite_single_image(model, image_path: str) -> Dict[str, Any]:
     }
 
 
-def suite_batch_inference(
-    cfg: Config, model, n: int = 32, beam: bool = True
-) -> Dict[str, Any]:
+def suite_batch_inference(cfg: Config, model, n: int = 32) -> Dict[str, Any]:
     """Config 2: batch inference accuracy + throughput on synthetic."""
     from molnextr_tpu.evaluation import SmilesEvaluator
 
@@ -160,7 +158,6 @@ def suite_train_throughput(
     from molnextr_tpu.train.loop import _dummy_init_batch
     from molnextr_tpu.train.step import jit_train_step
 
-    pool = _synthetic_eval_set(1)[1] * 0  # noqa: unused
     smiles = [
         "CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "CCN(CC)CC",
         "C1CCCCC1", "c1ccc2ccccc2c1", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
@@ -221,7 +218,7 @@ def run_all(
     report = []
     if os.path.exists(image_path):
         report.append(suite_single_image(model, image_path))
-    report.append(suite_batch_inference(cfg, model, n=32, beam=False))
+    report.append(suite_batch_inference(cfg, model, n=32))
     cfg_beam = copy.deepcopy(cfg)
     cfg_beam.decode.beam_size = 2
     report.append(suite_batch_inference(cfg_beam, _engine(cfg_beam, model.params), n=8))
