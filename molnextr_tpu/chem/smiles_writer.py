@@ -87,43 +87,64 @@ class _Writer:
 
     # -- stereo ----------------------------------------------------------
     def assign_directions(self) -> None:
-        """Choose /-\\ markers satisfying the molecule's db_stereo specs."""
+        """Choose /-\\ markers satisfying the molecule's db_stereo specs.
+
+        Solved as parity constraints over variables ``u[(n, c)]`` (= +1 when
+        neighbor n is drawn above stereo center c):
+
+        * ``u[(n, c)] = -u[(c, n)]``            (a bond's slope, seen from
+          either end — this ties conjugated systems together);
+        * neighbors on the same center sit on opposite sides;
+        * a cis spec equates the two ends, trans negates.
+
+        BFS 2-coloring over the constraint graph makes the assignment
+        deterministic for any atom numbering (an earlier greedy version gave
+        conjugated dienes different — and sometimes wrong — markers
+        depending on traversal order).
+        """
         specs = getattr(self.mol, "db_stereo", None)
         if not self.isomeric or not specs:
             return
-        # u[(n, c)] = +1 if neighbor n drawn above center c
-        u: Dict[Tuple[int, int], int] = {}
+        from collections import defaultdict
 
-        def set_u(n: int, c: int, val: int) -> bool:
-            if (n, c) in u:
-                return u[(n, c)] == val
-            u[(n, c)] = val
-            # the other single-bond neighbor of c sits on the opposite side
-            for b in self.mol.bonds_of(c):
-                m = b.other(c)
-                if m != n and b.order == SINGLE:
-                    if (m, c) in u and u[(m, c)] == val:
-                        return False
-                    u[(m, c)] = -val
-            # shared bond seen from the other end flips
-            u[(c, n)] = -val if (c, n) not in u else u[(c, n)]
-            return True
+        adj: Dict[Tuple[int, int], List[Tuple[Tuple[int, int], int]]] = defaultdict(list)
 
+        def relate(a: Tuple[int, int], b: Tuple[int, int], rel: int) -> None:
+            adj[a].append((b, rel))
+            adj[b].append((a, rel))
+
+        centers = set()
         for (c1, n1, c2, n2, cis) in specs:
-            want = None
-            if (n1, c1) in u and (n2, c2) in u:
-                continue
-            if (n1, c1) in u:
-                base = u[(n1, c1)]
-                set_u(n2, c2, base if cis else -base)
-            elif (n2, c2) in u:
-                base = u[(n2, c2)]
-                set_u(n1, c1, base if cis else -base)
-            else:
-                set_u(n1, c1, +1)
-                set_u(n2, c2, +1 if cis else -1)
+            centers.add(c1)
+            centers.add(c2)
+            relate((n1, c1), (n2, c2), 1 if cis else -1)
+        for c in centers:
+            nbrs = [
+                b.other(c) for b in self.mol.bonds_of(c) if b.order == SINGLE
+            ]
+            for n in nbrs:
+                relate((n, c), (c, n), -1)
+            for i in range(len(nbrs)):
+                for j in range(i + 1, len(nbrs)):
+                    relate((nbrs[i], c), (nbrs[j], c), -1)
 
-        # translate u values into written direction chars for tree edges
+        u: Dict[Tuple[int, int], int] = {}
+        # canonical seeding: order components by canonical rank so the
+        # up/down gauge choice is numbering-invariant
+        for start in sorted(adj, key=lambda nc: (self.ranks[nc[0]], self.ranks[nc[1]])):
+            if start in u:
+                continue
+            u[start] = 1
+            stack = [start]
+            while stack:
+                a = stack.pop()
+                for b, rel in adj[a]:
+                    want = u[a] * rel
+                    if b in u:
+                        continue  # conflicts only from contradictory specs
+                    u[b] = want
+                    stack.append(b)
+
         for (n, c), val in u.items():
             bidx = self.mol.bond_between(n, c)
             if bidx is None or self.mol.bonds[bidx].order != SINGLE:

@@ -264,3 +264,43 @@ class TestDruglikeCorpus:
             )
             assert ok, smi
             assert canonicalize_smiles(out)[0] == canonicalize_smiles(smi)[0], smi
+
+
+class TestStereoWriterInvariance:
+    def test_directions_renumbering_invariant(self):
+        """Direction-marker assignment is parity-constraint BFS: output must
+        be identical for any atom numbering (asymmetric skeletons)."""
+        import random
+
+        from molnextr_tpu.chem.smiles_writer import write_smiles
+
+        random.seed(0)
+        for smi in ["C/C=C\\C", "C/C=C/C", "F/C=C/C=C\\Cl", "C/C=C/CC(N)CC"]:
+            mol = mol_from_smiles(smi)
+            n = mol.num_atoms()
+            forms = set()
+            for _ in range(10):
+                perm = list(range(n))
+                random.shuffle(perm)
+                forms.add(write_smiles(mol.renumbered(perm), canonical=True))
+            assert len(forms) == 1, (smi, forms)
+
+    def test_symmetric_skeleton_forms_agree_semantically(self):
+        """Graph-symmetric + stereo-asymmetric molecules may canonicalize to
+        either chain end (known limitation), but every form must parse back
+        to the same molecule."""
+        import random
+
+        from molnextr_tpu.chem.smiles_writer import write_smiles
+
+        random.seed(0)
+        mol = mol_from_smiles("C/C=C\\C=C\\C")
+        n = mol.num_atoms()
+        sems = set()
+        for _ in range(10):
+            perm = list(range(n))
+            random.shuffle(perm)
+            out = write_smiles(mol.renumbered(perm), canonical=True)
+            m2 = mol_from_smiles(out)
+            sems.add(tuple(sorted(x[4] for x in m2.db_stereo)))
+        assert len(sems) == 1
