@@ -46,6 +46,7 @@ def greedy_decode(
     hidden_size: int,
     min_len: int = 1,
     use_constraint: bool = True,
+    unroll: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run constrained greedy decoding.
 
@@ -67,6 +68,8 @@ def greedy_decode(
         hiddens=jnp.zeros((b, max_len, hidden_size), dtype),
         finished=jnp.zeros((b,), bool),
     )
+
+    assert max_len % unroll == 0, "max_len must divide evenly by unroll"
 
     def cond(s: GreedyState):
         return (s.step < max_len) & (~jnp.all(s.finished))
@@ -105,7 +108,18 @@ def greedy_decode(
             finished=s.finished | newly_finished,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    if unroll > 1:
+        # several steps per loop iteration: fewer carry round-trips; the
+        # early-exit check coarsens to every `unroll` tokens (finished lanes
+        # stay frozen by masking, so extra sub-steps are no-ops)
+        def body_unrolled(s: GreedyState) -> GreedyState:
+            for _ in range(unroll):
+                s = body(s)
+            return s
+
+        final = jax.lax.while_loop(cond, body_unrolled, state)
+    else:
+        final = jax.lax.while_loop(cond, body, state)
 
     # average-of-token-scores confidence (`greedy_search.py:109`): mean over
     # generated tokens up to and including EOS.  Finished lanes only ever
