@@ -89,6 +89,7 @@ def main() -> None:
             cfg.decoder.max_len,
             cfg.decoder.hidden_size,
             min_len=cfg.decoder.max_len,  # force worst-case full-length decode
+            phased=True,
         )
         indices = jnp.tile(jnp.arange(max_atoms, dtype=jnp.int32)[None], (images.shape[0], 1))
         edges = model.apply(params, hiddens, indices, method=MolNexTRModel.predict_edges)

@@ -47,6 +47,7 @@ def greedy_decode(
     min_len: int = 1,
     use_constraint: bool = True,
     unroll: int = 1,
+    phased: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run constrained greedy decoding.
 
@@ -108,7 +109,43 @@ def greedy_decode(
             finished=s.finished | newly_finished,
         )
 
-    if unroll > 1:
+    if phased and max_len > 128:
+        # phased cache growth: run the loop with a 128-length self-attention
+        # cache first, then re-pad to 256/384/... as decoding advances.  The
+        # per-step attention read scales with the CURRENT phase's cache
+        # length instead of the full max_len, cutting average HBM traffic by
+        # ~40% on a 480-token worst case.  Each phase is its own while_loop
+        # over the same body (shapes are static per phase).
+        full_k = state.cache["self_k"]
+        boundaries = list(range(128, full_k.shape[-2] + 1, 128))
+        # phase 1 starts with a 128-length cache
+        s = state._replace(
+            cache={
+                **state.cache,
+                "self_k": jax.lax.slice_in_dim(full_k, 0, 128, axis=-2),
+                "self_v": jax.lax.slice_in_dim(state.cache["self_v"], 0, 128, axis=-2),
+            }
+        )
+        for phase_len in boundaries:
+            grow = phase_len - s.cache["self_k"].shape[-2]
+            if grow > 0:
+                pad = [(0, 0)] * full_k.ndim
+                pad[-2] = (0, grow)
+                s = s._replace(
+                    cache={
+                        **s.cache,
+                        "self_k": jnp.pad(s.cache["self_k"], pad),
+                        "self_v": jnp.pad(s.cache["self_v"], pad),
+                    }
+                )
+            limit = min(phase_len, max_len)
+
+            def phase_cond(st, limit=limit):
+                return (st.step < limit) & (~jnp.all(st.finished))
+
+            s = jax.lax.while_loop(phase_cond, body, s)
+        final = s
+    elif unroll > 1:
         # several steps per loop iteration: fewer carry round-trips; the
         # early-exit check coarsens to every `unroll` tokens (finished lanes
         # stay frozen by masking, so extra sub-steps are no-ops)
