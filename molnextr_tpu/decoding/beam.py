@@ -68,6 +68,7 @@ def beam_decode(
     use_constraint: bool = True,
     cache_batch_axis: int = 1,
     return_all: bool = False,
+    phased: bool = True,
 ):
     """Run constrained beam search; returns the best hypothesis per image.
 
@@ -171,7 +172,41 @@ def beam_decode(
             finished=finished | newly,
         )
 
-    final = jax.lax.while_loop(cond, body, state)
+    self_k_full = state.cache.get("self_k") if isinstance(state.cache, dict) else None
+    if phased and self_k_full is not None and self_k_full.shape[-2] > 128:
+        # phased cache growth, as in greedy_decode: attention reads scale
+        # with the current phase's cache length
+        def slice_cache(c, length):
+            return {
+                **c,
+                "self_k": jax.lax.slice_in_dim(c["self_k"], 0, length, axis=-2),
+                "self_v": jax.lax.slice_in_dim(c["self_v"], 0, length, axis=-2),
+            }
+
+        def grow_cache(c, target):
+            cur = c["self_k"].shape[-2]
+            if cur >= target:
+                return c
+            pad = [(0, 0)] * c["self_k"].ndim
+            pad[-2] = (0, target - cur)
+            return {
+                **c,
+                "self_k": jnp.pad(c["self_k"], pad),
+                "self_v": jnp.pad(c["self_v"], pad),
+            }
+
+        s = state._replace(cache=slice_cache(state.cache, 128))
+        for phase_len in range(128, self_k_full.shape[-2] + 1, 128):
+            s = s._replace(cache=grow_cache(s.cache, phase_len))
+            limit = min(phase_len, max_len)
+
+            def phase_cond(st, limit=limit):
+                return (st.step < limit) & (~jnp.all(st.finished))
+
+            s = jax.lax.while_loop(phase_cond, body, s)
+        final = s
+    else:
+        final = jax.lax.while_loop(cond, body, state)
 
     # length-normalized score; pick the best beam per batch
     norm = final.logprob_sum / jnp.maximum(final.lengths, 1).astype(jnp.float32)
