@@ -24,7 +24,7 @@ _LIB = None
 _LIB_LOCK = threading.Lock()
 _TRIED = False
 
-_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "native_src")
 _SO_NAME = "libmolnextr_native.so"
 
 
