@@ -304,3 +304,28 @@ class TestStereoWriterInvariance:
             m2 = mol_from_smiles(out)
             sems.add(tuple(sorted(x[4] for x in m2.db_stereo)))
         assert len(sems) == 1
+
+
+class TestBridgingSuperatoms:
+    def test_two_attachment_expansion(self):
+        """Superatoms drawn between two fragments must splice both bonds
+        (attachment-order fill, `chemical.py:716-736`)."""
+        cases = [
+            (["C", "SO2", "C"], "CS(C)(=O)=O"),
+            (["C", "O", "C"], "COC"),
+            (["Ph", "CH2", "Ph"], "c1ccccc1Cc1ccccc1"),
+        ]
+        for syms, want in cases:
+            n = len(syms)
+            coords = [[0.1 + 0.4 * i, 0.5] for i in range(n)]
+            edges = [[0] * n for _ in range(n)]
+            for i in range(n - 1):
+                edges[i][i + 1] = 1
+                edges[i + 1][i] = 1
+            smi, _, ok = convert_graph_to_smiles(
+                [coords], [syms], [edges], num_workers=1
+            )
+            assert ok == 1.0
+            assert (
+                canonicalize_smiles(smi[0])[0] == canonicalize_smiles(want)[0]
+            ), (syms, smi[0])
