@@ -170,14 +170,26 @@ def convert_checkpoint(
 
 
 def load_torch_checkpoint(path: str, cfg: Optional[Config] = None):
-    """Load a reference ``.pth`` and convert it.
+    """Load a reference ``.pth`` and convert it — no torch required.
 
-    Restores args the reference persists (formats/input_size/coord_bins/
-    sep_xy, `main.py:397`) into the config like `model.py:50-81` does.
+    Reads the zip serialization directly via
+    :mod:`molnextr_tpu.torch_reader` (falling back to ``torch.load`` only
+    for legacy non-zip files when torch happens to be installed).  Restores
+    args the reference persists (formats/input_size/coord_bins/sep_xy,
+    `main.py:397`) into the config like `model.py:50-81` does.
     """
-    import torch
+    import zipfile
 
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    if zipfile.is_zipfile(path):
+        from molnextr_tpu.torch_reader import load_pth, namespace_to_dict
+
+        ckpt = load_pth(path)
+        if "args" in ckpt:
+            ckpt["args"] = namespace_to_dict(ckpt["args"])
+    else:  # pre-1.6 legacy serialization: torch is the only decoder
+        import torch
+
+        ckpt = torch.load(path, map_location="cpu", weights_only=False)
     cfg = cfg or Config()
     args = ckpt.get("args", {})
     if isinstance(args, dict):
