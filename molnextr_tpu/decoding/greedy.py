@@ -17,13 +17,13 @@ finish (`/root/reference/MolNexTR/components.py:284-319`,
 from __future__ import annotations
 
 from functools import partial
-from typing import Any, Dict, NamedTuple, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from molnextr_tpu.tokenization import EOS_ID, PAD_ID, SOS_ID
+from molnextr_tpu.tokenization import EOS_ID, MASK_ID, PAD_ID, SOS_ID
 
 
 class GreedyState(NamedTuple):
@@ -48,6 +48,10 @@ def greedy_decode(
     use_constraint: bool = True,
     unroll: int = 1,
     phased: bool = False,
+    labels: Optional[jnp.ndarray] = None,
+    sampling_temp: float = 0.0,
+    keep_topk: int = 1,
+    rng: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Run constrained greedy decoding.
 
@@ -55,10 +59,36 @@ def greedy_decode(
     init_cache_fn(memory) -> cache
     Returns (seq (B, max_len), avg_scores (B,), token_log_scores (B, max_len),
     hiddens (B, max_len, D)); sequences end with EOS then PAD.
+
+    ``labels`` enables MASK-token partial prediction
+    (`components.py:286-289, 326-332`): a (B, L) int32 array starting with
+    SOS whose MASK_ID entries are predicted while every other entry is
+    forced — the emitted sequence keeps the known tokens and the model
+    fills only the masked slots (the reference's splice of
+    ``pred*mask + label*(1-mask)``); sequence finish follows the label's
+    EOS while the label lasts (`greedy_search.py:81-83`).  PAD marks the
+    end of a shorter label; decoding continues freely past it.
+
+    ``sampling_temp``/``keep_topk`` reproduce ``sample_with_temperature``
+    (`greedy_search.py:5-30`): temp 0 or top-1 is argmax; otherwise sample
+    from the categorical over the top-k temperature-scaled log-probs
+    (requires ``rng``).
     """
     b = memory.shape[0]
     cache = init_cache_fn(memory)
     dtype = memory.dtype
+
+    sample = sampling_temp != 0.0 and keep_topk != 1
+    if sample and rng is None:
+        raise ValueError("temperature sampling needs an rng key")
+    if labels is not None:
+        # pad to max_len+2 so labels[:, step+1] is always in range; PAD
+        # means "label exhausted" (free decoding resumes)
+        pad_w = max(0, max_len + 2 - labels.shape[1])
+        labels = jnp.pad(
+            labels.astype(jnp.int32), ((0, 0), (0, pad_w)),
+            constant_values=PAD_ID,
+        )
 
     state = GreedyState(
         step=jnp.asarray(0, jnp.int32),
@@ -87,9 +117,27 @@ def greedy_decode(
             -1e20,
             logp,
         )
-        nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
-        score = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
+        if sample:
+            scaled = logp / sampling_temp
+            if keep_topk > 0:
+                kth = jax.lax.top_k(scaled, keep_topk)[0][:, -1:]
+                scaled = jnp.where(scaled < kth, -10000.0, scaled)
+            nxt = jax.random.categorical(
+                jax.random.fold_in(rng, s.step), scaled, axis=-1
+            ).astype(jnp.int32)
+            score = jnp.take_along_axis(scaled, nxt[:, None], axis=-1)[:, 0]
+        else:
+            nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            score = jnp.take_along_axis(logp, nxt[:, None], axis=-1)[:, 0]
         newly_finished = nxt == EOS_ID
+        if labels is not None:
+            # the token at output position `step` pairs with labels[step+1]
+            # (labels start with SOS); known tokens override the pick and
+            # the label's EOS drives sequence finish while it lasts
+            lab = jax.lax.dynamic_slice_in_dim(labels, s.step + 1, 1, axis=1)[:, 0]
+            has = lab != PAD_ID
+            nxt = jnp.where(has & (lab != MASK_ID), lab, nxt)
+            newly_finished = jnp.where(has, lab == EOS_ID, nxt == EOS_ID)
         nxt = jnp.where(s.finished, PAD_ID, nxt)
         score = jnp.where(s.finished, 0.0, score)
         seq = jax.lax.dynamic_update_slice(s.seq, nxt[:, None], (0, s.step))

@@ -270,6 +270,41 @@ def cached_decode_attention(
     return decode_attention_reference(q, k, v, pos)
 
 
+def cross_decode_attention_folded(
+    q: jnp.ndarray,
+    mem_k: jnp.ndarray,
+    mem_v: jnp.ndarray,
+    layer: jnp.ndarray,
+    num_heads: int,
+) -> jnp.ndarray:
+    """Cross-attention for one decode step against a head-folded memory cache.
+
+    q: (B, H, d); mem_k/mem_v: (L, B, M, H*d) raw K/V projections of the
+    encoder memory (Dense channel order is (head, head_dim), so the reshape
+    below is a free view); layer: scalar int32.
+
+    The fold keeps the cache's minor HBM axis at H*d (=256 for the default
+    model: two exact 128-lane tiles) instead of d=32.  Measured on v5e at
+    batch 256: the (L, B, H, M, 32) layout cost 2.2ms/step in 4x-amplified
+    reads; this layout reads at full bandwidth.  M is static and unpadded,
+    so no masking is needed — softmax runs over the whole memory, exactly
+    the reference semantics (`decoder.py:438-448` reads the full memory
+    bank every step).
+    """
+    kl = jax.lax.dynamic_index_in_dim(mem_k, layer, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(mem_v, layer, 0, keepdims=False)
+    b, m, hd_total = kl.shape
+    d = hd_total // num_heads
+    k4 = kl.reshape(b, m, num_heads, d)
+    v4 = vl.reshape(b, m, num_heads, d)
+    scores = jnp.einsum(
+        "bhd,bmhd->bhm", q.astype(jnp.float32), k4.astype(jnp.float32)
+    ) / (d ** 0.5)
+    p = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhm,bmhd->bhd", p, v4.astype(jnp.float32))
+    return out.astype(q.dtype)
+
+
 def decode_attention_reference(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, pos: jnp.ndarray
 ) -> jnp.ndarray:
