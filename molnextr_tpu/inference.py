@@ -101,20 +101,59 @@ class InferenceEngine:
         return jnp.argmax(sym, axis=-1), jnp.max(sym, axis=-1)
 
     # -- host orchestration ----------------------------------------------
+    def predict_images_raw(
+        self, images: np.ndarray, params=None
+    ) -> Dict[str, np.ndarray]:
+        """Numeric-only prediction: token ids + edge class matrix.
+
+        The tensorized eval path (SURVEY.md §5): these arrays can ride a
+        cross-host ``process_allgather`` — unlike the python dicts the
+        reference gathers with ``dist.all_gather_object``
+        (`main.py:294-301`).  ``params`` overrides the engine's stored
+        parameters (same jitted graph, no recompile) so one engine serves
+        every training epoch.
+        """
+        params = self.params if params is None else params
+        n = images.shape[0]
+        images = self._pad_to_pow2(images)
+        out = self._decode_jit(params, jnp.asarray(images))
+        seq, _, _, hiddens = out[:4]
+        seq_np = np.asarray(seq)[:n]
+        result: Dict[str, np.ndarray] = {"seq": seq_np}
+        if "edges" in self.cfg.data.formats:
+            batch_indices = np.zeros((images.shape[0], self.max_atoms), np.int32)
+            for i in range(n):
+                parsed = self.tokenizer.sequence_to_smiles(seq_np[i].tolist())
+                k = min(len(parsed["indices"]), self.max_atoms)
+                batch_indices[i, :k] = np.asarray(parsed["indices"][:k], np.int32)
+            edge_pred, _ = self._edges_jit(
+                params, hiddens, jnp.asarray(batch_indices)
+            )
+            result["edges"] = np.asarray(edge_pred)[:n].astype(np.int32)
+        return result
+
+    def _pad_to_pow2(self, images: np.ndarray) -> np.ndarray:
+        if not self.pad_batch:
+            return images
+        n = images.shape[0]
+        target = 1
+        while target < n:
+            target *= 2
+        if target == n:
+            return images
+        pad = np.repeat(images[-1:], target - n, axis=0)
+        return np.concatenate([images, pad], axis=0)
+
     def predict_images(
-        self, images: np.ndarray, compute_confidence: bool = False
+        self, images: np.ndarray, compute_confidence: bool = False, params=None
     ) -> List[Dict[str, Any]]:
         """images: (B, H, W, 3) float32, already normalized."""
         n = images.shape[0]
-        if self.pad_batch:
-            # pad to the next power of two to bound recompilation
-            target = 1
-            while target < n:
-                target *= 2
-            if target != n:
-                pad = np.repeat(images[-1:], target - n, axis=0)
-                images = np.concatenate([images, pad], axis=0)
-        out = self._decode_jit(self.params, jnp.asarray(images))
+        if params is None:
+            params = self.params
+        # pad to the next power of two to bound recompilation
+        images = self._pad_to_pow2(images)
+        out = self._decode_jit(params, jnp.asarray(images))
         seq, avg_scores, token_scores, hiddens = out[:4]
         all_seq = np.asarray(out[4])[:n] if len(out) > 4 else None
         all_scores = np.asarray(out[5])[:n] if len(out) > 4 else None
@@ -150,7 +189,7 @@ class InferenceEngine:
         if "edges" in self.cfg.data.formats:
             hiddens_dev = hiddens[: len(predictions)] if not self.pad_batch else hiddens
             edge_pred, edge_score = self._edges_jit(
-                self.params, hiddens_dev, jnp.asarray(
+                params, hiddens_dev, jnp.asarray(
                     np.pad(batch_indices, ((0, hiddens.shape[0] - seq.shape[0]), (0, 0)))
                 )
             )

@@ -54,6 +54,39 @@ def _dummy_init_batch(cfg: Config, tokenizers) -> Dict[str, Any]:
     return {"images": np.zeros((1, s, s, 3), np.float32), "refs": refs}
 
 
+def _gather_shards(
+    arrays: Dict[str, np.ndarray], idx: np.ndarray, gather, world: int
+):
+    """Pad per-host result arrays to a common length, all-gather them, and
+    restore global order, dropping pad rows.
+
+    ``arrays``: per-host numeric results keyed by name (leading axis =
+    local samples); ``idx``: global sample index per local row; ``gather``:
+    a ``gather_arrays``-style function.  Factored out so the multi-host
+    path is unit-testable with a fake gather (SURVEY.md §4: fake-backend
+    substitute).
+    """
+    n_local = int(idx.shape[0])
+    n_max = int(gather(np.asarray([n_local], np.int32)).max())
+    pad = n_max - n_local
+
+    def pad0(a):
+        if pad == 0:
+            return a
+        widths = [(0, pad)] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, widths)
+
+    idx_g = gather(pad0(np.asarray(idx, np.int32) + 1))  # +1: 0 marks padding
+    idx_g = idx_g.reshape(world * n_max)
+    keep = idx_g > 0
+    order = np.argsort(idx_g[keep], kind="stable")
+    out: Dict[str, np.ndarray] = {}
+    for k, a in arrays.items():
+        g = gather(pad0(a)).reshape((world * n_max,) + a.shape[1:])
+        out[k] = g[keep][order]
+    return out, idx_g[keep][order] - 1
+
+
 def evaluate_model(
     cfg: Config,
     model: MolNexTRModel,
@@ -63,24 +96,63 @@ def evaluate_model(
     num_workers: int = 8,
     batch_size: Optional[int] = None,
     dump_csv: Optional[str] = None,
+    engine=None,
 ) -> Dict[str, Any]:
-    """Greedy-decode the validation set and score it
-    (`main.py:430-529`).  ``dump_csv`` writes the predictions CSV with
-    JSON-encoded node_coords/node_symbols/edges columns
-    (`main.py:531-540`, `utils.py:145-163`)."""
+    """Greedy-decode the validation set and score it (`main.py:430-529`).
+
+    Multi-host: samples shard round-robin over processes, each host decodes
+    its shard to NUMERIC arrays (token ids + edge classes), the arrays are
+    all-gathered as tensors (`parallel.distributed.gather_arrays`, the
+    XLA-native replacement for the reference's ``all_gather_object`` of
+    python dicts, `main.py:294-301`), and only the main process runs the
+    chemistry + scoring — non-main processes return ``{}``.
+
+    ``engine`` reuses a prebuilt ``InferenceEngine`` (with ``params``
+    overriding its stored weights) so per-epoch eval compiles the decode
+    graph exactly once per training run.  ``dump_csv`` writes the
+    predictions CSV with JSON-encoded node_coords/node_symbols/edges
+    columns (`main.py:531-540`, `utils.py:145-163`)."""
     from molnextr_tpu.chem.graph import convert_graph_to_smiles
     from molnextr_tpu.evaluation import SmilesEvaluator
     from molnextr_tpu.inference import InferenceEngine
+    from molnextr_tpu.parallel.distributed import (
+        gather_arrays,
+        is_main_process,
+        process_count,
+    )
 
-    engine = InferenceEngine(cfg, tokenizers, model, params)
+    if engine is None:
+        engine = InferenceEngine(cfg, tokenizers, model, params)
     ds = TrainDataset(cfg, list(valid_samples), tokenizers, split="valid", dynamic=True)
     # validation images render deterministically (no style jitter / augment)
     ds.dynamic = True
     bs = batch_size or cfg.decode.batch_size
-    golds: List[str] = []
-    preds: List[Dict] = []
+    world = process_count()
+    try:
+        rank = jax.process_index()
+    except Exception:
+        rank = 0
+    my_rows = list(range(rank, len(ds), world))
+
+    golds_all: List[Optional[str]] = [s.smiles for s in ds.samples]
+    seqs: List[np.ndarray] = []
+    edges_mats: List[np.ndarray] = []
+    kept_idx: List[int] = []
     batch_imgs: List[np.ndarray] = []
-    for i in range(len(ds)):
+    batch_idx: List[int] = []
+
+    def flush():
+        if not batch_imgs:
+            return
+        raw = engine.predict_images_raw(np.stack(batch_imgs), params=params)
+        seqs.append(raw["seq"])
+        if "edges" in raw:
+            edges_mats.append(raw["edges"])
+        kept_idx.extend(batch_idx)
+        batch_imgs.clear()
+        batch_idx.clear()
+
+    for i in my_rows:
         sample = ds.samples[i]
         if sample.image_path is None:
             from molnextr_tpu.data.synthetic import generate_synthetic_image
@@ -91,9 +163,8 @@ def evaluate_model(
             )
             if not ok:
                 continue
+            golds_all[i] = smiles  # canonical form actually rendered
             out = ds.transform(image=img, keypoints=[])
-            golds.append(smiles)
-            batch_imgs.append(out["image"].astype(np.float32))
         else:
             import cv2
 
@@ -102,18 +173,41 @@ def evaluate_model(
                 continue
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
             out = ds.transform(image=img, keypoints=[])
-            golds.append(sample.smiles)
-            batch_imgs.append(out["image"].astype(np.float32))
-        if len(batch_imgs) == bs or i == len(ds) - 1:
-            preds += engine.predict_images(np.stack(batch_imgs))
-            batch_imgs = []
-    if batch_imgs:
-        preds += engine.predict_images(np.stack(batch_imgs))
+        batch_imgs.append(out["image"].astype(np.float32))
+        batch_idx.append(i)
+        if len(batch_imgs) == bs:
+            flush()
+    flush()
+
+    local = {"seq": np.concatenate(seqs) if seqs else np.zeros((0, engine.max_len), np.int32)}
+    if edges_mats:
+        local["edges"] = np.concatenate(edges_mats)
+    if world > 1:
+        # golds for synthetic samples may be re-canonicalized per host; a
+        # barrier-free exchange is unnecessary because every host renders
+        # deterministically from the same SMILES list
+        gathered, idx = _gather_shards(
+            local, np.asarray(kept_idx, np.int32), gather_arrays, world
+        )
+        if not is_main_process():
+            return {}
+    else:
+        gathered, idx = local, np.asarray(kept_idx, np.int32)
 
     fmt = engine.fmt
-    coords = [p[fmt]["coords"] for p in preds]
-    symbols = [p[fmt]["symbols"] for p in preds]
-    edges = [p["edges"] for p in preds]
+    coords, symbols, edges = [], [], []
+    for row_i in range(gathered["seq"].shape[0]):
+        parsed = engine.tokenizer.sequence_to_smiles(
+            gathered["seq"][row_i].tolist()
+        )
+        coords.append(parsed["coords"])
+        symbols.append(parsed["symbols"])
+        k = min(len(parsed["indices"]), engine.max_atoms)
+        if "edges" in gathered:
+            edges.append(gathered["edges"][row_i, :k, :k].tolist())
+        else:
+            edges.append([[0] * k for _ in range(k)])
+    golds = [golds_all[i] for i in idx]
     smiles_list, _, _ = convert_graph_to_smiles(
         coords, symbols, edges, num_workers=num_workers
     )
@@ -216,6 +310,7 @@ def train_loop(
 
     global_step = int(state.step)
     start = time.time()
+    eval_engine = None
     for epoch in range(start_epoch, cfg.train.epochs):
         loader.set_epoch(epoch)
         loss_meter = LossMeter()
@@ -253,9 +348,17 @@ def train_loop(
 
         scores: Dict[str, Any] = {}
         if do_eval and valid_samples:
+            if eval_engine is None:
+                from molnextr_tpu.inference import InferenceEngine
+
+                # built once: per-epoch eval reuses the compiled decode
+                # graph with fresh params (no per-epoch re-jit)
+                eval_engine = InferenceEngine(
+                    cfg, tokenizers, model, state.params
+                )
             scores = evaluate_model(
                 cfg, model, state.params, tokenizers, valid_samples,
-                num_workers=max(workers, 1),
+                num_workers=max(workers, 1), engine=eval_engine,
             )
             print_rank_0(f"epoch {epoch} eval: {scores}")
         with open(metrics_path, "a") as f:
