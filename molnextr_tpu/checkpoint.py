@@ -52,6 +52,19 @@ def load_model(path: str, params_template=None) -> Tuple[Config, Any]:
         params = serialization.from_bytes(params_template, data)
     else:
         params = serialization.msgpack_restore(data)
+    # float16 is a storage-only dtype here (bundles may be saved f16 to
+    # halve disk size): TPUs have no native f16 and Mosaic rejects it, so
+    # promote to f32 masters at load (flax modules then cast per-op dtype)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def _promote(x):
+        if hasattr(x, "dtype") and x.dtype == np.float16:
+            return np.asarray(x, np.float32)
+        return x
+
+    params = jax.tree_util.tree_map(_promote, params)
     return cfg, params
 
 

@@ -186,9 +186,25 @@ class PatchMerging(nn.Module):
         return nn.Dense(2 * self.dim, use_bias=False, dtype=self.dtype, name="reduction")(x)
 
 
+def _pick_tile(t: int, cap: int = 512) -> int:
+    """Largest power-of-two tile <= cap that divides t (>= 8 if possible)."""
+    tile = cap
+    while tile > 8 and t % tile != 0:
+        tile //= 2
+    return tile if t % tile == 0 else 1
+
+
 class SwinEncoder(nn.Module):
     """Full Swin encoder returning final tokens + per-stage hidden maps
-    (mirroring `Encoder.forwards`, `components.py:136-160`)."""
+    (mirroring `Encoder.forwards`, `components.py:136-160`).
+
+    Inference on TPU routes each block through the fused pallas kernels
+    (``ops.swin_fused``): [LN1+window-MHA+proj] and [LN2+MLP] each read and
+    write the activation exactly once in its natural layout, eliminating
+    the window-partition transpose copies and the transposing LayerNorm
+    fusions the XLA path pays for (measured ~2x the encoder's matmul time).
+    Training / init / non-TPU use the flax module path (autodiff + remat).
+    """
 
     cfg: EncoderConfig
     input_size: int = 384
@@ -205,6 +221,14 @@ class SwinEncoder(nn.Module):
         x = x.reshape(b, h * w, c.embed_dim)
         if c.patch_norm:
             x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(x)
+
+        from molnextr_tpu.ops.swin_fused import fused_encoder_enabled
+
+        use_fused = (
+            deterministic
+            and not self.is_initializing()
+            and fused_encoder_enabled()
+        )
         hiddens: List[jnp.ndarray] = []
         res = (h, w)
         dims = [int(c.embed_dim * 2 ** i) for i in range(len(c.depths))]
@@ -215,18 +239,25 @@ class SwinEncoder(nn.Module):
             dim = dims[stage]
             block_cls = nn.remat(SwinBlock, static_argnums=(2,)) if c.use_remat else SwinBlock
             for i in range(depth):
-                x = block_cls(
-                    dim=dim,
-                    num_heads=c.num_heads[stage],
-                    resolution=res,
-                    window_size=c.window_size,
-                    shift=0 if i % 2 == 0 else c.window_size // 2,
-                    mlp_ratio=c.mlp_ratio,
-                    drop_path=float(dpr[blk]),
-                    dtype=self.dtype,
-                    softmax_f32=c.softmax_f32,
-                    name=f"stage{stage}_block{i}",
-                )(x, deterministic)
+                shift = 0 if i % 2 == 0 else c.window_size // 2
+                if use_fused:
+                    x = self._fused_block(
+                        x, f"stage{stage}_block{i}", res,
+                        c.window_size, shift, c.num_heads[stage], b, dim,
+                    )
+                else:
+                    x = block_cls(
+                        dim=dim,
+                        num_heads=c.num_heads[stage],
+                        resolution=res,
+                        window_size=c.window_size,
+                        shift=shift,
+                        mlp_ratio=c.mlp_ratio,
+                        drop_path=float(dpr[blk]),
+                        dtype=self.dtype,
+                        softmax_f32=c.softmax_f32,
+                        name=f"stage{stage}_block{i}",
+                    )(x, deterministic)
                 blk += 1
             hiddens.append(x.reshape(b, res[0], res[1], dim))
             if stage < len(c.depths) - 1:
@@ -235,3 +266,67 @@ class SwinEncoder(nn.Module):
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         hiddens[-1] = x.reshape(b, res[0], res[1], dims[-1])
         return x, hiddens
+
+    def _fused_block(self, x, pname, res, window_size, shift, heads, b, dim):
+        """One Swin block via the fused pallas kernels (inference only).
+
+        Reads the flax params of the (un-called) module ``pname`` directly —
+        the parameter tree is identical to the module path, so checkpoints
+        and the converter are unaffected.
+        """
+        from molnextr_tpu.ops.swin_fused import (
+            fused_interpret_mode,
+            fused_ln_mlp,
+            fused_window_attention,
+        )
+
+        interp = fused_interpret_mode()
+
+        bp = self.variables["params"][pname]
+        hres, wres = res
+        ws = min(window_size, min(hres, wres))
+        if ws >= min(hres, wres):
+            shift = 0
+        n = ws * ws
+        table = jnp.asarray(bp["attn"]["rel_bias"])
+        idx = _rel_pos_index(ws)
+        bias = table[idx.reshape(-1)].reshape(n, n, heads).transpose(2, 0, 1)
+        bias = bias.astype(jnp.float32)
+        xsp = x.reshape(b, hres, wres, dim)
+        if shift:
+            maskb = shift_attn_mask(hres, wres, ws, shift)
+            mask = np.where(maskb, -100.0, 0.0).astype(np.float32)
+            xin = jnp.roll(xsp, (-shift, -shift), axis=(1, 2))
+        else:
+            mask = None
+            xin = xsp
+        attn = fused_window_attention(
+            xin,
+            jnp.asarray(bp["attn"]["qkv"]["kernel"]),
+            jnp.asarray(bp["attn"]["qkv"]["bias"]),
+            jnp.asarray(bp["attn"]["proj"]["kernel"]),
+            jnp.asarray(bp["attn"]["proj"]["bias"]),
+            jnp.asarray(bp["norm1"]["scale"]),
+            jnp.asarray(bp["norm1"]["bias"]),
+            bias,
+            mask,
+            heads,
+            ws,
+            interpret=interp,
+        )
+        if shift:
+            attn = jnp.roll(attn, (shift, shift), axis=(1, 2))
+        xr = xsp + attn
+        t = b * hres * wres
+        y = fused_ln_mlp(
+            xr.reshape(t, dim),
+            jnp.asarray(bp["norm2"]["scale"]),
+            jnp.asarray(bp["norm2"]["bias"]),
+            jnp.asarray(bp["fc1"]["kernel"]),
+            jnp.asarray(bp["fc1"]["bias"]),
+            jnp.asarray(bp["fc2"]["kernel"]),
+            jnp.asarray(bp["fc2"]["bias"]),
+            tile=_pick_tile(t),
+            interpret=interp,
+        )
+        return (xr.reshape(b, hres * wres, dim) + y.reshape(b, hres * wres, dim))

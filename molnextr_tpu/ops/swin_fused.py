@@ -1,0 +1,352 @@
+"""Fused Pallas TPU kernels for the Swin encoder's inference path.
+
+The XLA-compiled encoder spends most of its time outside the MXU: profiled
+at batch 256 / 384px, LayerNorm+transpose fusions and window-partition
+layout copies cost ~2x the matmul time (`convert_reduce_fusion` ops at 18x
+below the HBM roofline because their outputs fuse a (B,T,C)->(T,B,C)
+transposing write).  These kernels keep every intermediate in VMEM and read
+/write activations once, in their natural (B, H, W, C) layout:
+
+* :func:`fused_window_attention` — [LN1 -> qkv projection -> per-window
+  multi-head attention with relative-position bias (+ shift mask) -> output
+  projection] for one window-row grid instance.  Replaces the reference's
+  ``WindowAttention`` + the surrounding partition/reverse reshapes
+  (`/root/reference/MolNexTR/models/transformers.py:68-292`).
+* :func:`fused_ln_mlp` — [LN2 -> fc1 -> GELU -> fc2] with the 4x-width
+  intermediate never leaving VMEM (`transformers.py:181-292` MLP).
+
+Both have pure-XLA references used for unit tests (pallas interpret mode on
+CPU) and as the non-TPU fallback.  Inference-only: the training path keeps
+the flax modules (remat + autodiff).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _erf(x):
+    """Polynomial erf (Abramowitz & Stegun 7.1.26, |err| <= 1.5e-7): Mosaic
+    has no erf/erfc lowering, and 1.5e-7 absolute error is far below the
+    bf16 activations' own precision."""
+    a1, a2, a3, a4, a5 = (
+        0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    )
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _gelu_exact(x):
+    """Exact (erf-based) GELU, matching jax.nn.gelu(approximate=False)."""
+    return 0.5 * x * (1.0 + _erf(x * (2.0 ** -0.5)))
+
+
+# ---------------------------------------------------------------------------
+# fused window attention
+# ---------------------------------------------------------------------------
+
+
+def _win_attn_kernel(
+    x_ref,        # (1, ws, W, C)
+    wqkv_ref,     # (C, 3C)
+    bqkv_ref,     # (1, 3C)
+    wproj_ref,    # (C, C)
+    bproj_ref,    # (1, C)
+    ln_s_ref,     # (1, C)
+    ln_b_ref,     # (1, C)
+    bias_ref,     # (H, N, N) rel-pos bias
+    mask_ref,     # (1, nWw_m, N, N)  (-100/0; nWw_m==1 when unshifted)
+    o_ref,        # (1, ws, W, C)
+    *,
+    num_heads: int,
+    ws: int,
+):
+    full_w = x_ref.shape[2]
+    c = x_ref.shape[3]
+    nww = full_w // ws
+    n = ws * ws
+    hd = c // num_heads
+    scale = hd ** -0.5
+
+    x = x_ref[0].reshape(ws * full_w, c).astype(jnp.float32)
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+    xn = (x - mu) * jax.lax.rsqrt(var + 1e-5)
+    xn = xn * ln_s_ref[0].astype(jnp.float32) + ln_b_ref[0].astype(jnp.float32)
+    qkv = (
+        jnp.dot(
+            xn.astype(wqkv_ref.dtype), wqkv_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        + bqkv_ref[0].astype(jnp.float32)
+    )  # (ws*W, 3C)
+    qkv = qkv.reshape(ws, nww, ws, 3 * c)
+
+    for wj in range(nww):
+        win = qkv[:, wj].reshape(n, 3 * c)
+        mj = min(wj, mask_ref.shape[1] - 1)
+        mask = mask_ref[0, mj].astype(jnp.float32)  # (N, N)
+        ctxs = []
+        for h in range(num_heads):
+            q = win[:, h * hd : (h + 1) * hd]
+            k = win[:, c + h * hd : c + (h + 1) * hd]
+            v = win[:, 2 * c + h * hd : 2 * c + (h + 1) * hd]
+            s = (
+                jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale
+                + bias_ref[h].astype(jnp.float32)
+                + mask
+            )
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            ctxs.append(jnp.dot(p, v, preferred_element_type=jnp.float32))
+        ctx = jnp.concatenate(ctxs, axis=-1)  # (N, C)
+        out = (
+            jnp.dot(
+                ctx.astype(wproj_ref.dtype), wproj_ref[:],
+                preferred_element_type=jnp.float32,
+            )
+            + bproj_ref[0].astype(jnp.float32)
+        )
+        o_ref[0, :, wj * ws : (wj + 1) * ws, :] = out.reshape(ws, ws, c).astype(
+            o_ref.dtype
+        )
+
+
+def fused_window_attention(
+    x: jnp.ndarray,       # (B, Hres, Wres, C)
+    wqkv: jnp.ndarray,    # (C, 3C)
+    bqkv: jnp.ndarray,    # (3C,)
+    wproj: jnp.ndarray,   # (C, C)
+    bproj: jnp.ndarray,   # (C,)
+    ln_scale: jnp.ndarray,
+    ln_bias: jnp.ndarray,
+    bias: jnp.ndarray,    # (H, N, N)
+    mask: Optional[np.ndarray],  # (nW, N, N) additive mask or None
+    num_heads: int,
+    ws: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """LN1 + windowed MHA + proj, one kernel instance per window-row."""
+    b, hres, wres, c = x.shape
+    nwh, nww = hres // ws, wres // ws
+    n = ws * ws
+    if mask is None:
+        mask_arr = jnp.zeros((nwh, 1, n, n), jnp.float32)
+    else:
+        mask_arr = jnp.asarray(mask, jnp.float32).reshape(nwh, nww, n, n)
+
+    dtype = x.dtype
+    wd = jnp.bfloat16 if dtype == jnp.bfloat16 else dtype
+    grid = (b, nwh)
+
+    def xmap(bi, i):
+        return (bi, i, 0, 0)
+
+    def const2(bi, i):
+        return (0, 0)
+
+    def const3(bi, i):
+        return (0, 0, 0)
+
+    def maskmap(bi, i):
+        return (i, 0, 0, 0)
+
+    kern = functools.partial(_win_attn_kernel, num_heads=num_heads, ws=ws)
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct(x.shape, dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, ws, wres, c), xmap, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, 3 * c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, n, n), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, mask_arr.shape[1], n, n), maskmap, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, ws, wres, c), xmap, memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(
+        x,
+        wqkv.astype(wd),
+        bqkv.reshape(1, -1).astype(jnp.float32),
+        wproj.astype(wd),
+        bproj.reshape(1, -1).astype(jnp.float32),
+        ln_scale.reshape(1, -1).astype(jnp.float32),
+        ln_bias.reshape(1, -1).astype(jnp.float32),
+        bias.astype(jnp.float32),
+        mask_arr,
+    )
+
+
+def window_attention_reference(
+    x, wqkv, bqkv, wproj, bproj, ln_scale, ln_bias, bias, mask, num_heads, ws
+):
+    """Pure-XLA reference with identical semantics (testing / fallback)."""
+    b, hres, wres, c = x.shape
+    hd = c // num_heads
+    n = ws * ws
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias
+    qkv = xn @ wqkv.astype(jnp.float32) + bqkv
+    qkv = qkv.reshape(b, hres // ws, ws, wres // ws, ws, 3 * c)
+    qkv = qkv.transpose(0, 1, 3, 2, 4, 5).reshape(-1, n, 3 * c)
+    q, k, v = qkv[..., :c], qkv[..., c : 2 * c], qkv[..., 2 * c :]
+
+    def split(t):
+        return t.reshape(-1, n, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = split(q), split(k), split(v)
+    s = jnp.einsum("whqd,whkd->whqk", q * (hd ** -0.5), k)
+    s = s + bias.astype(jnp.float32)[None]
+    if mask is not None:
+        nw = mask.shape[0]
+        s = s.reshape(b, nw, num_heads, n, n) + jnp.asarray(
+            mask, jnp.float32
+        )[None, :, None]
+        s = s.reshape(-1, num_heads, n, n)
+    p = jax.nn.softmax(s, axis=-1)
+    ctx = jnp.einsum("whqk,whkd->wqhd", p, v).reshape(-1, n, c)
+    out = ctx @ wproj.astype(jnp.float32) + bproj
+    out = out.reshape(b, hres // ws, wres // ws, ws, ws, c)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(b, hres, wres, c)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# fused LN + MLP
+# ---------------------------------------------------------------------------
+
+
+def _ln_mlp_kernel(
+    x_ref,      # (TILE, C)
+    ln_s_ref,   # (1, C)
+    ln_b_ref,   # (1, C)
+    w1_ref,     # (C, CHUNK)
+    b1_ref,     # (1, CHUNK)
+    w2_ref,     # (CHUNK, C)
+    b2_ref,     # (1, C)
+    o_ref,      # (TILE, C)
+    xn_ref,     # scratch (TILE, C) input dtype
+    acc_ref,    # scratch (TILE, C) f32
+):
+    j = pl.program_id(1)
+    nj = pl.num_programs(1)
+
+    @pl.when(j == 0)
+    def _ln():
+        x = x_ref[:].astype(jnp.float32)
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
+        xn = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        xn = xn * ln_s_ref[0].astype(jnp.float32) + ln_b_ref[0].astype(jnp.float32)
+        xn_ref[:] = xn.astype(xn_ref.dtype)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    h = (
+        jnp.dot(xn_ref[:], w1_ref[:], preferred_element_type=jnp.float32)
+        + b1_ref[0].astype(jnp.float32)
+    )
+    h = _gelu_exact(h)
+    acc_ref[:] += jnp.dot(
+        h.astype(w2_ref.dtype), w2_ref[:], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nj - 1)
+    def _emit():
+        o_ref[:] = (acc_ref[:] + b2_ref[0].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+def fused_ln_mlp(
+    x: jnp.ndarray,  # (T, C)
+    ln_scale, ln_bias, w1, b1, w2, b2,
+    tile: int = 256,
+    chunk: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """LN + fc1 + GELU + fc2; the (T, 4C) intermediate stays in VMEM."""
+    t, c = x.shape
+    f = w1.shape[1]
+    chunk = min(chunk, f)
+    assert t % tile == 0 and f % chunk == 0, (t, tile, f, chunk)
+    dtype = x.dtype
+    wd = jnp.bfloat16 if dtype == jnp.bfloat16 else dtype
+    grid = (t // tile, f // chunk)
+    return pl.pallas_call(
+        _ln_mlp_kernel,
+        out_shape=jax.ShapeDtypeStruct((t, c), dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tile, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, chunk), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, c), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile, c), lambda i, j: (i, 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((tile, c), wd),
+            pltpu.VMEM((tile, c), jnp.float32),
+        ],
+        interpret=interpret,
+    )(
+        x,
+        ln_scale.reshape(1, -1).astype(jnp.float32),
+        ln_bias.reshape(1, -1).astype(jnp.float32),
+        w1.astype(wd),
+        b1.reshape(1, -1).astype(jnp.float32),
+        w2.astype(wd),
+        b2.reshape(1, -1).astype(jnp.float32),
+    )
+
+
+def ln_mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2):
+    xf = x.astype(jnp.float32)
+    mu = xf.mean(-1, keepdims=True)
+    var = ((xf - mu) ** 2).mean(-1, keepdims=True)
+    xn = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
+    h = jax.nn.gelu(xn @ w1.astype(jnp.float32) + b1, approximate=False)
+    return (h @ w2.astype(jnp.float32) + b2).astype(x.dtype)
+
+
+def fused_encoder_enabled() -> bool:
+    """Fused pallas encoder path: default ON for TPU inference; disable with
+    MOLNEXTR_NO_FUSED_ENCODER=1.  MOLNEXTR_FUSED_INTERPRET=1 forces the path
+    on any backend in pallas interpret mode (CPU equivalence tests)."""
+    import os
+
+    if os.environ.get("MOLNEXTR_NO_FUSED_ENCODER"):
+        return False
+    if os.environ.get("MOLNEXTR_FUSED_INTERPRET"):
+        return True
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def fused_interpret_mode() -> bool:
+    import os
+
+    return bool(os.environ.get("MOLNEXTR_FUSED_INTERPRET"))
