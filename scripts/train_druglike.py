@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Train a mid-size model on a generated drug-like corpus (single chip).
+
+The reference's production recipe renders PubChem SMILES on the fly
+(`/root/reference/exps/train.sh`); offline here, the corpus comes from
+``molnextr_tpu.data.corpus`` (fragment-assembled drug-like molecules).
+Produces a checkpoint bundle usable by the API / benchmark suites.
+
+Usage:
+    python scripts/train_druglike.py --steps 6000 --save-path output/druglike
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_config(args):
+    from molnextr_tpu.config import (
+        Config,
+        DataConfig,
+        DecoderConfig,
+        EncoderConfig,
+        TrainConfig,
+    )
+
+    cfg = Config()
+    cfg.encoder = EncoderConfig(
+        name="swin_medium",
+        patch_size=4,
+        window_size=12,
+        embed_dim=args.embed_dim,
+        depths=(2, 2, 6, 2),
+        num_heads=(2, 4, 8, 16),
+        drop_path_rate=0.1,
+        use_remat=True,
+    )
+    cfg.decoder = DecoderConfig(
+        num_layers=4, hidden_size=256, attn_heads=8, max_len=256,
+    )
+    cfg.data = DataConfig(
+        input_size=args.input_size,
+        formats=("chartok_coords", "edges"),
+        max_atoms=64,
+    )
+    cfg.train = TrainConfig(
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        encoder_lr=4e-4,
+        decoder_lr=4e-4,
+        warmup_ratio=0.02,
+        label_smoothing=0.1,
+        save_mode="best",
+        save_path=args.save_path,
+        num_workers=args.workers,
+        train_steps_per_epoch=args.steps_per_epoch,
+    )
+    cfg.decode.batch_size = 64
+    return cfg
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--corpus", type=int, default=60000)
+    p.add_argument("--valid", type=int, default=384)
+    p.add_argument("--epochs", type=int, default=30)
+    p.add_argument("--steps-per-epoch", type=int, default=-1)
+    p.add_argument("--batch-size", type=int, default=256)
+    p.add_argument("--input-size", type=int, default=192)
+    p.add_argument("--embed-dim", type=int, default=64)
+    p.add_argument("--workers", type=int, default=8)
+    p.add_argument("--save-path", default="output/druglike")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--no-eval", action="store_true")
+    args = p.parse_args()
+
+    from molnextr_tpu.data import Sample
+    from molnextr_tpu.data.corpus import generate_corpus
+    from molnextr_tpu.train.loop import train_loop
+    from molnextr_tpu.utils import print_rank_0
+
+    cfg = build_config(args)
+    os.makedirs(args.save_path, exist_ok=True)
+
+    print_rank_0(f"generating corpus: {args.corpus} train + {args.valid} valid")
+    train_smiles = generate_corpus(args.corpus, seed=42, max_atoms=40)
+    valid_smiles = generate_corpus(
+        args.valid, seed=20260816, existing=set(train_smiles), max_atoms=40
+    )
+    with open(os.path.join(args.save_path, "corpus_valid.txt"), "w") as f:
+        f.write("\n".join(valid_smiles))
+    print_rank_0(f"corpus ready: {len(train_smiles)} train / {len(valid_smiles)} valid")
+
+    state = train_loop(
+        cfg,
+        [Sample(smiles=s) for s in train_smiles],
+        valid_samples=[Sample(smiles=s) for s in valid_smiles],
+        num_workers=args.workers,
+        print_freq=25,
+        do_eval=not args.no_eval,
+        resume=args.resume,
+    )
+    print_rank_0(f"done at step {int(state.step)}")
+
+
+if __name__ == "__main__":
+    main()
