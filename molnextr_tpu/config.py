@@ -85,6 +85,9 @@ class DataConfig:
     augment: bool = True
     rotate: bool = True
     max_atoms: int = 128  # static pad for edge matrices / atom indices
+    # eval-dataset name ("acs"/"uob"/a test_file path): selects the
+    # per-dataset transform composition (`dataset.py:165-167`)
+    dataset_name: Optional[str] = None
 
 
 @dataclass

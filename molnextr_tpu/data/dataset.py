@@ -65,7 +65,10 @@ class TrainDataset:
         self.dynamic = dynamic and split == "train"
         augment = cfg.data.augment and split == "train"
         self.transform: Compose = get_transforms(
-            cfg.data.input_size, augment=augment, rotate=augment and cfg.data.rotate
+            cfg.data.input_size,
+            augment=augment,
+            rotate=augment and cfg.data.rotate,
+            dataset=cfg.data.dataset_name,
         )
         self.formats = [f for f in cfg.data.formats if f != "edges"]
         self.with_edges = "edges" in cfg.data.formats

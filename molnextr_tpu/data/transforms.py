@@ -168,6 +168,68 @@ class PadToSquare(Transform):
         return image, keypoints
 
 
+class ResizePad(Transform):
+    """Clamp each dimension to (height, width) then center-pad with white
+    (`data_aug.py:212-243`).  Matches the reference: dimensions already
+    within bounds are NOT upscaled, and aspect ratio is not preserved when
+    clamping (each axis clamps independently)."""
+
+    def __init__(self, height: int, width: int, value=(255, 255, 255), p: float = 1.0):
+        super().__init__(p)
+        self.height = height
+        self.width = width
+        self.value = value
+
+    def apply(self, image, keypoints):
+        h, w = image.shape[:2]
+        nh, nw = min(h, self.height), min(w, self.width)
+        if (nh, nw) != (h, w):
+            image = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+            if len(keypoints):
+                keypoints = keypoints * np.asarray([nw / w, nh / h], np.float32)
+        t = (self.height - nh) // 2
+        b = self.height - nh - t
+        l = (self.width - nw) // 2
+        r = self.width - nw - l
+        image = cv2.copyMakeBorder(
+            image, t, b, l, r, cv2.BORDER_CONSTANT, value=self.value
+        )
+        if len(keypoints):
+            keypoints = keypoints + np.asarray([l, t], np.float32)
+        return image, keypoints
+
+
+class ConditionalPadToSquare(Transform):
+    """Pad to square only when the aspect ratio is at least
+    ``ratio_threshold`` (`data_aug.py:316-356`)."""
+
+    def __init__(self, value=(255, 255, 255), ratio_threshold: float = 1.5,
+                 p: float = 1.0):
+        super().__init__(p)
+        self.value = value
+        self.ratio_threshold = ratio_threshold
+
+    def apply(self, image, keypoints):
+        h, w = image.shape[:2]
+        if max(h, w) / max(min(h, w), 1) < self.ratio_threshold:
+            return image, keypoints
+        diff = abs(h - w)
+        p1, p2 = diff // 2, diff - diff // 2
+        if h < w:
+            image = cv2.copyMakeBorder(
+                image, p1, p2, 0, 0, cv2.BORDER_CONSTANT, value=self.value
+            )
+            if len(keypoints):
+                keypoints = keypoints + np.asarray([0, p1], np.float32)
+        else:
+            image = cv2.copyMakeBorder(
+                image, 0, 0, p1, p2, cv2.BORDER_CONSTANT, value=self.value
+            )
+            if len(keypoints):
+                keypoints = keypoints + np.asarray([p1, 0], np.float32)
+        return image, keypoints
+
+
 class CropAndPad(Transform):
     """Random all-side crop by a percent range (A.CropAndPad equivalent with
     negative percents, `dataset.py:169`)."""
@@ -438,19 +500,32 @@ class Normalize(Transform):
         return img, keypoints
 
 
+def dataset_pads_to_square(dataset: Optional[str]) -> bool:
+    """Per-dataset composition switch (`dataset.py:165-167`): the ACS and
+    UOB eval sets get a PadToSquare after CropWhite.  Accepts either a
+    dataset name ("acs", "uob") or the reference's test_file path
+    ("real/acs.csv", "real/UOB.csv")."""
+    if not dataset:
+        return False
+    name = dataset.lower()
+    name = name.rsplit("/", 1)[-1].replace(".csv", "")
+    return name in ("acs", "uob")
+
+
 def get_transforms(
     input_size: int,
     augment: bool = True,
     rotate: bool = True,
     debug: bool = False,
     pad_to_square: bool = False,
+    dataset: Optional[str] = None,
 ) -> Compose:
     """Training/eval pipeline composition (`dataset.py:158-185`)."""
     trans: List[Transform] = []
     if augment and rotate:
         trans.append(SafeRotate(limit=90))
     trans.append(CropWhite(pad=50))
-    if pad_to_square:
+    if pad_to_square or dataset_pads_to_square(dataset):
         trans.append(PadToSquare(p=1.0))
     if augment:
         trans += [

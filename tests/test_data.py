@@ -181,3 +181,66 @@ class TestContinuousCoords:
         assert n >= 3
         assert (coords[0, :n] >= 0).all()
         assert (coords[0, n:] == -1).all()
+
+
+class TestResizePadAndConditional:
+    """ResizePad + ConditionalPadToSquare parity (`data_aug.py:212-243,
+    316-356`) and the ACS/UOB composition switch (`dataset.py:165-167`)."""
+
+    def test_resizepad_downscale_and_center(self):
+        from molnextr_tpu.data.transforms import ResizePad
+
+        img = np.full((100, 400, 3), 128, np.uint8)
+        kps = np.asarray([[0.0, 0.0], [400.0, 100.0]], np.float32)
+        out, okps = ResizePad(200, 200).apply(img, kps)
+        assert out.shape[:2] == (200, 200)
+        # width clamped 400->200, height 100 kept; pad centers vertically
+        np.testing.assert_allclose(okps[0], [0.0, 50.0])
+        np.testing.assert_allclose(okps[1], [200.0, 150.0])
+        assert (out[0] == 255).all() and (out[-1] == 255).all()  # white pad
+
+    def test_resizepad_no_upscale(self):
+        from molnextr_tpu.data.transforms import ResizePad
+
+        img = np.full((50, 60, 3), 99, np.uint8)
+        kps = np.asarray([[30.0, 25.0]], np.float32)
+        out, okps = ResizePad(100, 100).apply(img, kps)
+        assert out.shape[:2] == (100, 100)
+        np.testing.assert_allclose(okps[0], [30.0 + 20, 25.0 + 25])
+        # original pixels preserved (no resize happened)
+        assert (out[25:75, 20:80] == 99).all()
+
+    def test_conditional_pad_triggers_on_elongated(self):
+        from molnextr_tpu.data.transforms import ConditionalPadToSquare
+
+        img = np.full((100, 300, 3), 50, np.uint8)
+        kps = np.asarray([[10.0, 10.0]], np.float32)
+        out, okps = ConditionalPadToSquare(ratio_threshold=1.5).apply(img, kps)
+        assert out.shape[:2] == (300, 300)
+        np.testing.assert_allclose(okps[0], [10.0, 110.0])  # top pad 100
+
+    def test_conditional_pad_skips_near_square(self):
+        from molnextr_tpu.data.transforms import ConditionalPadToSquare
+
+        img = np.full((100, 120, 3), 50, np.uint8)
+        kps = np.asarray([[10.0, 10.0]], np.float32)
+        out, okps = ConditionalPadToSquare(ratio_threshold=1.5).apply(img, kps)
+        assert out.shape[:2] == (100, 120)
+        np.testing.assert_allclose(okps[0], [10.0, 10.0])
+
+    def test_dataset_switch(self):
+        from molnextr_tpu.data.transforms import (
+            PadToSquare,
+            dataset_pads_to_square,
+            get_transforms,
+        )
+
+        assert dataset_pads_to_square("real/acs.csv")
+        assert dataset_pads_to_square("real/UOB.csv")
+        assert dataset_pads_to_square("acs") and dataset_pads_to_square("UOB")
+        assert not dataset_pads_to_square("real/uspto.csv")
+        assert not dataset_pads_to_square(None)
+        tf = get_transforms(64, augment=False, dataset="real/acs.csv")
+        assert any(isinstance(t, PadToSquare) for t in tf.transforms)
+        tf2 = get_transforms(64, augment=False, dataset="real/uspto.csv")
+        assert not any(isinstance(t, PadToSquare) for t in tf2.transforms)
