@@ -50,7 +50,14 @@ class MolNexTR:
         from molnextr_tpu.tokenization import get_tokenizer
 
         if model_path is not None:
-            cfg, params = load_model(model_path)
+            if model_path.endswith((".pth", ".pt")):
+                # reference PyTorch checkpoint: read torch-free + convert
+                from molnextr_tpu.convert import load_torch_checkpoint
+
+                cfg, variables = load_torch_checkpoint(model_path, cfg)
+                params = variables
+            else:
+                cfg, params = load_model(model_path)
         if cfg is None:
             raise ValueError("need model_path or (cfg, params)")
         self.cfg = cfg
@@ -194,11 +201,57 @@ class MolNexTRSingleton:
     _instance: Optional[MolNexTR] = None
     _device_name: str = "unknown"
 
+    # released reference checkpoint (`molnextr.py:130`); downloaded into the
+    # pystow-style cache on first use when the environment allows egress
+    MODEL_URL = (
+        "https://huggingface.co/datasets/CYF200127/MolNexTR/resolve/main/"
+        "molnextr_best.pth"
+    )
+
+    @classmethod
+    def cache_dir(cls) -> str:
+        """Checkpoint cache directory (pystow layout: ~/.data/molnextr,
+        overridable via MOLNEXTR_CACHE)."""
+        return os.environ.get(
+            "MOLNEXTR_CACHE",
+            os.path.join(os.path.expanduser("~"), ".data", "molnextr"),
+        )
+
+    @classmethod
+    def _ensure_checkpoint(cls) -> Optional[str]:
+        """Locate or download the released checkpoint
+        (`molnextr.py:126-143`): cached file wins; otherwise attempt the
+        HuggingFace download (returns None on failure, e.g. offline)."""
+        cached = os.path.join(cls.cache_dir(), "molnextr_best.pth")
+        if os.path.exists(cached):
+            logger.info(f"using cached checkpoint at {cached}")
+            return cached
+        if os.environ.get("MOLNEXTR_NO_DOWNLOAD"):
+            return None
+        try:
+            import shutil
+            import urllib.request
+
+            os.makedirs(cls.cache_dir(), exist_ok=True)
+            logger.info(f"downloading checkpoint from {cls.MODEL_URL}")
+            tmp = cached + ".part"
+            with urllib.request.urlopen(cls.MODEL_URL, timeout=30) as resp:
+                with open(tmp, "wb") as f:
+                    shutil.copyfileobj(resp, f)
+            os.replace(tmp, cached)
+            logger.info(f"downloaded checkpoint to {cached}")
+            return cached
+        except Exception as e:
+            logger.warning(f"checkpoint download unavailable ({e})")
+            return None
+
     @classmethod
     def get_instance(cls, model_path: Optional[str] = None) -> MolNexTR:
         if cls._instance is None:
             cls._detect_hardware()
             path = model_path or os.environ.get("MOLNEXTR_MODEL_PATH")
+            if not (path and os.path.exists(path)):
+                path = cls._ensure_checkpoint()
             if path and os.path.exists(path):
                 logger.info(f"loading model bundle from {path}")
                 cls._instance = MolNexTR(model_path=path)

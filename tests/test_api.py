@@ -109,3 +109,61 @@ class TestTransforms:
         img[30:50, 30:50] = 0
         out = t(image=img)
         assert out["image"].shape == (64, 64, 3)
+
+
+class TestCheckpointCacheAndPth:
+    """Checkpoint auto-download/cache surface (`molnextr.py:126-143`) and
+    direct .pth loading through the API."""
+
+    def test_cache_hit_wins(self, tmp_path, monkeypatch):
+        from molnextr_tpu.api import MolNexTRSingleton
+
+        monkeypatch.setenv("MOLNEXTR_CACHE", str(tmp_path))
+        (tmp_path / "molnextr_best.pth").write_bytes(b"stub")
+        assert MolNexTRSingleton._ensure_checkpoint() == str(
+            tmp_path / "molnextr_best.pth"
+        )
+
+    def test_offline_returns_none(self, tmp_path, monkeypatch):
+        from molnextr_tpu.api import MolNexTRSingleton
+
+        monkeypatch.setenv("MOLNEXTR_CACHE", str(tmp_path / "empty"))
+        monkeypatch.setenv("MOLNEXTR_NO_DOWNLOAD", "1")
+        assert MolNexTRSingleton._ensure_checkpoint() is None
+
+    def test_pth_model_path_loads_and_predicts(self, tmp_path):
+        torch = pytest.importorskip("torch")
+        import sys
+
+        sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+        from torch_semantics import TorchDecoderBundle, TorchEncoder
+
+        from molnextr_tpu.api import MolNexTR
+        from molnextr_tpu.config import DecoderConfig, EncoderConfig, tiny_test_config
+        from molnextr_tpu.tokenization import get_tokenizer
+
+        cfg = tiny_test_config()
+        cfg.encoder = EncoderConfig(
+            name="swin_pth_test", patch_size=4, window_size=4, embed_dim=16,
+            depths=(1, 1), num_heads=(2, 2), drop_path_rate=0.0, use_remat=False,
+        )
+        cfg.decoder = DecoderConfig(num_layers=2, hidden_size=32, attn_heads=2,
+                                    hidden_dropout=0.0, attn_dropout=0.0,
+                                    max_len=24, use_remat=False)
+        fmt = "chartok_coords"
+        cfg.data.formats = (fmt, "edges")
+        vocab = len(get_tokenizer(cfg.data)[fmt])
+        torch.manual_seed(0)
+        c = cfg.encoder
+        tenc = TorchEncoder(img_size=cfg.data.input_size, patch_size=4,
+                            embed_dim=16, depths=(1, 1), num_heads=(2, 2),
+                            window_size=4)
+        tdec = TorchDecoderBundle(fmt, c.num_features, 32, 2, 2, vocab)
+        path = str(tmp_path / "ref.pth")
+        torch.save({"encoder": tenc.state_dict(), "decoder": tdec.state_dict()}, path)
+
+        model = MolNexTR(model_path=path, cfg=cfg)
+        preds = model.predict_images(
+            [np.zeros((cfg.data.input_size, cfg.data.input_size, 3), np.uint8)]
+        )
+        assert len(preds) == 1 and "predicted_smiles" in preds[0]
