@@ -88,6 +88,10 @@ class DataConfig:
     # eval-dataset name ("acs"/"uob"/a test_file path): selects the
     # per-dataset transform composition (`dataset.py:165-167`)
     dataset_name: Optional[str] = None
+    # cache base synthetic renders across epochs (per-sample molecular
+    # augmentation frozen; image augmentations still vary) — rendering is
+    # the dominant host cost on low-core hosts
+    render_cache: bool = False
 
 
 @dataclass

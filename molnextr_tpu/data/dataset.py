@@ -72,6 +72,7 @@ class TrainDataset:
         )
         self.formats = [f for f in cfg.data.formats if f != "edges"]
         self.with_edges = "edges" in cfg.data.formats
+        self._render_cache: Dict[int, Any] = {}
 
     def __len__(self) -> int:
         return len(self.samples)
@@ -79,25 +80,46 @@ class TrainDataset:
     def __getitem__(self, idx: int) -> Optional[Dict[str, Any]]:
         sample = self.samples[idx]
         try:
-            return self._build(sample)
+            return self._build(sample, idx)
         except Exception:
             return None
 
-    def _build(self, sample: Sample) -> Optional[Dict[str, Any]]:
+    def _render(self, idx: int, sample: Sample):
+        """Synthetic render for sample ``idx``, optionally cached.
+
+        With ``cfg.data.render_cache`` the base render (including the
+        per-sample molecular augmentation draw) is computed once and reused
+        every epoch — image-space augmentations still vary per epoch.  On
+        single-core hosts rendering dominates the item cost ~4:1 over the
+        transforms (measured 51 vs 220 img/s at 192px), so caching moves
+        training from render-bound to transform/device-bound.
+        """
+        from molnextr_tpu.data.synthetic import generate_synthetic_image
+
+        if self.cfg.data.render_cache:
+            cached = self._render_cache.get(idx)
+            if cached is not None:
+                return cached
+        rendered = generate_synthetic_image(
+            sample.smiles,
+            mol_augment=self.cfg.data.mol_augment,
+            shuffle_nodes=self.cfg.data.shuffle_nodes,
+            include_condensed=self.cfg.data.include_condensed,
+            size=self.cfg.data.input_size,
+        )
+        if self.cfg.data.render_cache:
+            self._render_cache[idx] = rendered
+        return rendered
+
+    def _build(self, sample: Sample, idx: int = -1) -> Optional[Dict[str, Any]]:
         import cv2
 
         if self.dynamic and sample.image_path is None:
-            from molnextr_tpu.data.synthetic import generate_synthetic_image
-
-            img, smiles, graph, ok = generate_synthetic_image(
-                sample.smiles,
-                mol_augment=self.cfg.data.mol_augment,
-                shuffle_nodes=self.cfg.data.shuffle_nodes,
-                include_condensed=self.cfg.data.include_condensed,
-                size=self.cfg.data.input_size,
-            )
+            img, smiles, graph, ok = self._render(idx, sample)
             if not ok or not graph:
                 return None
+            if self.cfg.data.render_cache:
+                img = img.copy()  # in-place noise transforms must not pollute the cache
             keypoints = np.asarray(graph["coords"], np.float32)
             symbols = graph["symbols"]
             edges = graph["edges"]
