@@ -30,25 +30,26 @@ def _engine(cfg: Config, params=None):
     return MolNexTR(cfg=cfg, params=params, num_workers=4)
 
 
-def _synthetic_eval_set(n: int, seed: int = 0):
-    """Deterministic synthetic eval pairs (image, gold smiles)."""
+def _synthetic_eval_set(n: int, seed: int = 0, size: int = 384):
+    """Deterministic synthetic eval pairs (image, gold smiles).
+
+    Drug-like molecules from the corpus generator with eval-only seeds
+    (offset far from the training seeds used by scripts/train_druglike.py),
+    so suite accuracy measures held-out generalization."""
     import random
 
+    from molnextr_tpu.data.corpus import generate_corpus
     from molnextr_tpu.data.synthetic import generate_synthetic_image
 
     random.seed(seed)
-    pool = [
-        "CCO", "c1ccccc1", "CC(=O)Oc1ccccc1C(=O)O", "CCN(CC)CC",
-        "C1CCCCC1", "c1ccc2ccccc2c1", "CC(C)Cc1ccc(cc1)C(C)C(=O)O",
-        "C[C@H](N)C(=O)O", "COc1ccc(C=O)cc1", "CC(=O)NC1CCCCC1",
-    ]
+    pool = generate_corpus(max(n, 16), seed=900000 + seed, max_atoms=40)
     images, golds = [], []
     i = 0
-    while len(images) < n:
+    while len(images) < n and i < len(pool) * 4:
         smi = pool[i % len(pool)]
         i += 1
         img, out, graph, ok = generate_synthetic_image(
-            smi, mol_augment=False, default_option=True
+            smi, mol_augment=False, default_option=True, size=size
         )
         if ok:
             images.append(img)
@@ -76,7 +77,7 @@ def suite_batch_inference(cfg: Config, model, n: int = 32) -> Dict[str, Any]:
     """Config 2: batch inference accuracy + throughput on synthetic."""
     from molnextr_tpu.evaluation import SmilesEvaluator
 
-    images, golds = _synthetic_eval_set(n)
+    images, golds = _synthetic_eval_set(n, size=cfg.data.input_size)
     t0 = time.perf_counter()
     preds = model.predict_images(images, batch_size=cfg.decode.batch_size)
     dt = time.perf_counter() - t0
@@ -112,7 +113,9 @@ def suite_dataset_eval(
             golds.append(row["SMILES"])
         name = os.path.basename(csv_path)
     else:
-        images, golds = _synthetic_eval_set(n_fallback, seed=7)
+        images, golds = _synthetic_eval_set(
+            n_fallback, seed=7, size=model.cfg.data.input_size
+        )
         name = "synthetic-fallback"
     preds = model.predict_images(images)
     scores = SmilesEvaluator(golds, num_workers=4).evaluate(
@@ -126,7 +129,7 @@ def suite_perturbed(cfg: Config, model, n: int = 16) -> Dict[str, Any]:
     from molnextr_tpu.data.transforms import get_perturbation_transforms
     from molnextr_tpu.evaluation import SmilesEvaluator
 
-    images, golds = _synthetic_eval_set(n, seed=3)
+    images, golds = _synthetic_eval_set(n, seed=3, size=cfg.data.input_size)
     # perturb raw renders, then hand them to the normal prediction pipeline
     perturb = get_perturbation_transforms(cfg.data.input_size)
     noisy = []
