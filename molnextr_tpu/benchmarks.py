@@ -228,7 +228,9 @@ def run_all(
     for csv in eval_csvs or [None]:
         report.append(suite_dataset_eval(model, csv))
     report.append(suite_perturbed(cfg, model))
-    report.append(suite_train_throughput(cfg))
+    # workers=0: this host exposes one core, where pool IPC reduces
+    # throughput (see CLAUDE.md); multi-core hosts should raise it
+    report.append(suite_train_throughput(cfg, num_workers=0))
     return report
 
 
