@@ -108,6 +108,18 @@ class TrainDataset:
             size=self.cfg.data.input_size,
         )
         if self.cfg.data.render_cache:
+            img, smiles, graph, ok = rendered
+            if ok and graph:
+                # store the graph as flat numpy/tuples: tens of thousands of
+                # nested python lists otherwise make every gen-2 GC sweep
+                # scan millions of objects, tripling the per-item cost
+                graph = {
+                    "coords": np.asarray(graph["coords"], np.float32),
+                    "symbols": tuple(graph["symbols"]),
+                    "edges": np.asarray(graph["edges"], np.int8),
+                    "num_atoms": int(graph.get("num_atoms", len(graph["symbols"]))),
+                }
+                rendered = (img, smiles, graph, ok)
             self._render_cache[idx] = rendered
         return rendered
 
