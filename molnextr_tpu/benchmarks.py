@@ -192,7 +192,9 @@ def suite_train_throughput(
         dev = shard_batch(mesh, batch)
         if compiled is None:
             compiled = jit_train_step(model, Criterion(cfg.data.formats), mesh, dev)
-        state, metrics = compiled(state, dev, rng)
+        # per-step key: identical operands across dispatches trip a 14x
+        # slowdown in the remote runtime (see train/loop.py)
+        state, metrics = compiled(state, dev, jax.random.fold_in(rng, i))
         jax.block_until_ready(metrics["loss"])
         if i > 0:  # skip compile batch
             times.append(time.perf_counter() - t_prev)

@@ -67,6 +67,13 @@ class DecoderConfig:
     enc_pos_emb: bool = False  # optional 144-slot encoder pos emb (`components.py:187`)
     max_len: int = 480  # FORMAT_INFO cap (`utils.py:24-25`)
     use_remat: bool = True  # rematerialize decoder layers in training
+    # teacher-forced self-attention via the TPU flash kernel (opt-in).
+    # Measured at the production shape (B256, H8, T256, d32): the stock
+    # pallas flash kernel runs 15x SLOWER than XLA's materialized attention
+    # (121ms vs 8.3ms fwd) — d=32 wastes 3/4 of the kernel's 128-lane
+    # tiles, while XLA's fusion handles the (B,H,T,T) tensor in ~0.7ms of
+    # HBM traffic.  Kept for experimentation on models with d >= 128.
+    use_flash_attention: bool = False
 
 
 @dataclass

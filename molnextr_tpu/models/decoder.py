@@ -62,12 +62,45 @@ class MHA(nn.Module):
         b, h, t, hd = x.shape
         return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
 
-    def __call__(self, q_in, k_in, v_in, mask=None, deterministic=True):
-        """mask: bool array broadcastable to (B, 1, Tq, Tk); True = masked."""
+    def __call__(self, q_in, k_in, v_in, mask=None, deterministic=True,
+                 causal_flash=False):
+        """mask: bool array broadcastable to (B, 1, Tq, Tk); True = masked.
+
+        ``causal_flash``: the mask is known to be causal(+trailing-PAD),
+        so the TPU flash-attention kernel may be used — it never
+        materializes the (B, H, T, T) score tensor, which at batch 256 x
+        T 256 costs ~0.5GB per layer per pass in the XLA path (the
+        dominant train-step time).  Trailing PAD keys are safe under
+        causal-only masking: PAD only follows EOS, so real queries never
+        see them, and PAD-query outputs are loss-ignored.
+        """
         q = self._split(self.q_proj(q_in))
         k = self._split(self.k_proj(k_in))
         v = self._split(self.v_proj(v_in))
+        if causal_flash and self._can_flash(q, deterministic):
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            hd = self.hidden // self.num_heads
+            ctx = flash_attention(q, k, v, causal=True, sm_scale=hd ** -0.5)
+            return self.out(self._merge(ctx))
         return self.attend(q, k, v, mask, deterministic)
+
+    def _can_flash(self, q, deterministic) -> bool:
+        if not deterministic and self.dropout > 0:
+            return False  # the kernel has no attention-dropout path
+        t = q.shape[-2]
+        if t < 128 or t % 128 != 0:
+            return False
+        import os
+
+        if os.environ.get("MOLNEXTR_NO_FLASH"):
+            return False
+        try:
+            return jax.default_backend() == "tpu"
+        except Exception:
+            return False
 
     def project_kv(self, x):
         return self._split(self.k_proj(x)), self._split(self.v_proj(x))
@@ -135,7 +168,10 @@ class DecoderLayer(nn.Module):
         self_mask = bcast["self_mask"]
         det = not self.has_rng("dropout")
         xn = self.ln1(x)
-        q = self.self_attn(xn, xn, xn, self_mask, det)
+        q = self.self_attn(
+            xn, xn, xn, self_mask, det,
+            causal_flash=self.cfg.use_flash_attention,
+        )
         q = self.drop(q, deterministic=det) + x
         mid = self.cross_attn(self.ln2(q), memory, memory, None, det)
         out = self.ffn(self.drop(mid, deterministic=det) + q, det)
@@ -257,7 +293,9 @@ class Decoder(nn.Module):
         if pad_mask is not None:
             self_mask = causal | pad_mask[:, None, None, :]
         x, _ = self.layers.forward(
-            x, {}, {"memory": memory, "self_mask": self_mask}
+            x,
+            {},
+            {"memory": memory, "self_mask": self_mask},
         )
         return self.final_ln(x)
 

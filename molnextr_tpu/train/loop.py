@@ -328,7 +328,13 @@ def train_loop(
                 compiled = jit_train_step(model, criterion, mesh, dev_batch)
             if profile_steps and global_step == 1:
                 jax.profiler.start_trace(os.path.join(cfg.train.save_path, "profile"))
-            state, metrics = compiled(state, dev_batch, rng)
+            # fresh dropout key per step — required for correct dropout AND
+            # for speed: re-dispatching with an identical key array makes
+            # the remote runtime's step 14x slower (measured 33.9s vs 2.4s;
+            # its dispatch memoization probes pathologically on repeated
+            # identical operands)
+            step_rng = jax.random.fold_in(rng, global_step)
+            state, metrics = compiled(state, dev_batch, step_rng)
             global_step += 1
             if profile_steps and global_step == 1 + profile_steps:
                 jax.block_until_ready(metrics["loss"])
