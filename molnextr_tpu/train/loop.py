@@ -335,6 +335,13 @@ def train_loop(
             # identical operands)
             step_rng = jax.random.fold_in(rng, global_step)
             state, metrics = compiled(state, dev_batch, step_rng)
+            # sync EVERY step: the remote runtime's completion polling backs
+            # off when results are not promptly awaited — measured 9s/step
+            # with an immediate per-step sync vs 19-40s/step with deferred
+            # syncs (lag-1 or every-25), with the tunnel's polling thread
+            # burning the host core in the deferred case.  The lost
+            # host/device overlap (~1-2s of device time) is far cheaper.
+            jax.block_until_ready(metrics["loss"])
             global_step += 1
             if profile_steps and global_step == 1 + profile_steps:
                 jax.block_until_ready(metrics["loss"])
