@@ -343,6 +343,13 @@ def train_loop(
             # host/device overlap (~1-2s of device time) is far cheaper.
             jax.block_until_ready(metrics["loss"])
             global_step += 1
+            if bidx % print_freq == 0:
+                # bounded explicit collection: frees jax-array reference
+                # cycles (device buffers!) at a known cadence instead of
+                # letting unpredictable gen-2 sweeps hit mid-render
+                import gc
+
+                gc.collect()
             if profile_steps and global_step == 1 + profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()

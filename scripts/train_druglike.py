@@ -81,17 +81,17 @@ def main():
     p.add_argument("--no-eval", action="store_true")
     args = p.parse_args()
 
-    import gc
-
     from molnextr_tpu.data import Sample
     from molnextr_tpu.data.corpus import generate_corpus
     from molnextr_tpu.train.loop import train_loop
     from molnextr_tpu.utils import print_rank_0
 
-    # cyclic GC off: the render cache + corpus hold millions of long-lived
-    # objects and periodic gen-2 sweeps dominate the single core; the
-    # training loop itself creates no reference cycles worth collecting
-    gc.disable()
+    # NOTE: do NOT gc.disable() here — jax Array objects participate in
+    # reference cycles, so without the collector dead device batch buffers
+    # (113MB each) accumulate in HBM and the remote allocator degrades as
+    # steps pass.  The render cache stores numpy/tuples (few gc-tracked
+    # objects), so periodic collection (train_loop does it explicitly at
+    # print intervals) stays cheap.
 
     cfg = build_config(args)
     os.makedirs(args.save_path, exist_ok=True)
