@@ -93,12 +93,27 @@ class CheckpointManager:
         return os.path.join(self.save_path, f"ckpt_{tag}")
 
     def save(self, cfg: Config, state, epoch: int, score: Optional[float] = None) -> Optional[str]:
-        """Snapshot according to policy; returns the path written (or None)."""
+        """Snapshot according to policy; returns the path written (or None).
+
+        ``best`` mode additionally keeps a rolling ``ckpt_last`` so an
+        interrupted run can resume from (and ship) the newest weights even
+        while the eval score hasn't improved — without it, a run whose
+        score plateaus would only ever persist its first epoch."""
         is_best = score is not None and (self._best is None or score > self._best)
         if self.mode == "best" and not is_best:
+            self._write_snapshot(self._snapshot_dir("last"), cfg, state, epoch, score)
             return None
         tag = f"ep{epoch}" if self.mode == "all" else ("best" if self.mode == "best" else "last")
         path = self._snapshot_dir(tag)
+        self._write_snapshot(path, cfg, state, epoch, score)
+        if is_best:
+            self._best = score
+            with open(os.path.join(self.save_path, BEST_SCORES), "w") as f:
+                json.dump({"best_score": score, "epoch": epoch}, f)
+        return path
+
+    def _write_snapshot(self, path: str, cfg: Config, state, epoch: int,
+                        score: Optional[float]) -> None:
         if os.path.exists(path):
             shutil.rmtree(path)
         os.makedirs(path)
@@ -115,11 +130,6 @@ class CheckpointManager:
         )
         with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
             f.write(opt_bytes)
-        if is_best:
-            self._best = score
-            with open(os.path.join(self.save_path, BEST_SCORES), "w") as f:
-                json.dump({"best_score": score, "epoch": epoch}, f)
-        return path
 
     def restore(self, state, tag: str = "best"):
         """Restore a train state (params + opt state + step) in place of the
