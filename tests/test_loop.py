@@ -106,3 +106,40 @@ class TestCLIs:
             "--no_eval",
         ])
         assert os.path.exists(tmp_path / "out" / "metrics.jsonl")
+
+
+class TestRollingLastCheckpoint:
+    def test_best_mode_keeps_rolling_last(self, tmp_path):
+        """In best mode, non-improving epochs still persist ckpt_last, so a
+        plateaued run can ship/resume its newest weights."""
+        import os
+
+        import jax
+
+        from molnextr_tpu.checkpoint import CheckpointManager
+        from molnextr_tpu.config import tiny_test_config
+        from molnextr_tpu.models.model import MolNexTRModel
+        from molnextr_tpu.tokenization import get_tokenizer
+        from molnextr_tpu.train import create_train_state
+        from molnextr_tpu.train.loop import _dummy_init_batch
+
+        cfg = tiny_test_config()
+        cfg.train.save_path = str(tmp_path)
+        toks = get_tokenizer(cfg.data)
+        model = MolNexTRModel(cfg, {f: len(t) for f, t in toks.items()})
+        state = create_train_state(
+            cfg, model, jax.random.PRNGKey(0), 10, _dummy_init_batch(cfg, toks)
+        )
+        mgr = CheckpointManager(str(tmp_path), mode="best")
+        p0 = mgr.save(cfg, state, epoch=0, score=0.0)  # first: best
+        assert p0 and p0.endswith("ckpt_best")
+        state = state.replace(step=state.step + 5)
+        p1 = mgr.save(cfg, state, epoch=1, score=0.0)  # tie: NOT best
+        assert p1 is None
+        last = os.path.join(str(tmp_path), "ckpt_last")
+        assert os.path.isdir(last)
+        restored, meta = mgr.restore(state, tag="last")
+        assert meta["epoch"] == 1 and int(restored.step) == int(state.step)
+        # best still points at epoch 0
+        _, meta_best = mgr.restore(state, tag="best")
+        assert meta_best["epoch"] == 0
