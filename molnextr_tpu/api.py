@@ -238,6 +238,19 @@ class MolNexTRSingleton:
             with urllib.request.urlopen(cls.MODEL_URL, timeout=30) as resp:
                 with open(tmp, "wb") as f:
                     shutil.copyfileobj(resp, f)
+            expect = os.environ.get("MOLNEXTR_MODEL_SHA256")
+            if expect:
+                import hashlib
+
+                h = hashlib.sha256()
+                with open(tmp, "rb") as f:
+                    for chunk in iter(lambda: f.read(1 << 20), b""):
+                        h.update(chunk)
+                if h.hexdigest() != expect.lower():
+                    os.remove(tmp)
+                    raise RuntimeError(
+                        "downloaded checkpoint failed SHA-256 verification"
+                    )
             os.replace(tmp, cached)
             logger.info(f"downloaded checkpoint to {cached}")
             return cached
@@ -249,6 +262,12 @@ class MolNexTRSingleton:
     def get_instance(cls, model_path: Optional[str] = None) -> MolNexTR:
         if cls._instance is None:
             cls._detect_hardware()
+            if model_path is not None and not os.path.exists(model_path):
+                # a typo'd explicit path must not silently become a network
+                # fetch of a different checkpoint
+                raise FileNotFoundError(
+                    f"model_path does not exist: {model_path}"
+                )
             path = model_path or os.environ.get("MOLNEXTR_MODEL_PATH")
             if not (path and os.path.exists(path)):
                 path = cls._ensure_checkpoint()

@@ -100,11 +100,17 @@ class CheckpointManager:
         while the eval score hasn't improved — without it, a run whose
         score plateaus would only ever persist its first epoch."""
         is_best = score is not None and (self._best is None or score > self._best)
-        if self.mode == "best" and not is_best:
+        if self.mode == "best":
+            # ckpt_last is written UNCONDITIONALLY every epoch so `--resume
+            # last` always finds the newest weights (improving-every-epoch
+            # runs previously never created it)
             self._write_snapshot(self._snapshot_dir("last"), cfg, state, epoch, score)
-            return None
-        tag = f"ep{epoch}" if self.mode == "all" else ("best" if self.mode == "best" else "last")
-        path = self._snapshot_dir(tag)
+            if not is_best:
+                return None
+            path = self._snapshot_dir("best")
+        else:
+            tag = f"ep{epoch}" if self.mode == "all" else "last"
+            path = self._snapshot_dir(tag)
         self._write_snapshot(path, cfg, state, epoch, score)
         if is_best:
             self._best = score

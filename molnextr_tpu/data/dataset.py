@@ -322,6 +322,12 @@ class DataLoader:
         order = self._order()
         cfg = self.dataset.cfg
         if self.num_workers <= 0:
+            if self.prefetch > 0:
+                # single-core hosts still overlap: numpy/cv2 release the GIL,
+                # so a builder thread renders+transforms the next batch while
+                # the main thread blocks on the device step
+                yield from self._iter_threaded(order, cfg)
+                return
             for start in range(0, len(order), self.batch_size):
                 chunk = order[start : start + self.batch_size]
                 if self.drop_last and len(chunk) < self.batch_size:
@@ -332,6 +338,48 @@ class DataLoader:
                     yield batch
             return
 
+        yield from self._iter_pool(order, cfg)
+
+    def _iter_threaded(self, order, cfg) -> Iterator[Dict[str, Any]]:
+        stop = threading.Event()
+        q: "queue_mod.Queue" = queue_mod.Queue(maxsize=max(self.prefetch, 1))
+
+        def producer():
+            try:
+                for start in range(0, len(order), self.batch_size):
+                    if stop.is_set():
+                        return
+                    chunk = order[start : start + self.batch_size]
+                    if self.drop_last and len(chunk) < self.batch_size:
+                        break
+                    items = [self.dataset[i] for i in chunk]
+                    batch = pad_batch(
+                        items, cfg.data.formats, self.max_len, self.max_atoms
+                    )
+                    if batch:
+                        q.put(batch)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
+            # drain so a blocked producer can observe the stop flag
+            while True:
+                try:
+                    q.get_nowait()
+                except queue_mod.Empty:
+                    break
+            t.join(timeout=5)
+
+    def _iter_pool(self, order, cfg) -> Iterator[Dict[str, Any]]:
         # fork is fast and fine here (workers touch only numpy/cv2/chem, not
         # jax); set MOLNEXTR_MP_CONTEXT=spawn if the host jax runtime's
         # threads ever deadlock a forked child

@@ -255,7 +255,7 @@ def _ln_mlp_kernel(
         x = x_ref[:].astype(jnp.float32)
         mu = jnp.mean(x, axis=-1, keepdims=True)
         var = jnp.mean((x - mu) ** 2, axis=-1, keepdims=True)
-        xn = (x - mu) * jax.lax.rsqrt(var + 1e-6)
+        xn = (x - mu) * jax.lax.rsqrt(var + 1e-5)
         xn = xn * ln_s_ref[0].astype(jnp.float32) + ln_b_ref[0].astype(jnp.float32)
         xn_ref[:] = xn.astype(xn_ref.dtype)
         acc_ref[:] = jnp.zeros_like(acc_ref)
@@ -325,7 +325,7 @@ def ln_mlp_reference(x, ln_scale, ln_bias, w1, b1, w2, b2):
     xf = x.astype(jnp.float32)
     mu = xf.mean(-1, keepdims=True)
     var = ((xf - mu) ** 2).mean(-1, keepdims=True)
-    xn = (xf - mu) * jax.lax.rsqrt(var + 1e-6) * ln_scale + ln_bias
+    xn = (xf - mu) * jax.lax.rsqrt(var + 1e-5) * ln_scale + ln_bias
     h = jax.nn.gelu(xn @ w1.astype(jnp.float32) + b1, approximate=False)
     return (h @ w2.astype(jnp.float32) + b2).astype(x.dtype)
 

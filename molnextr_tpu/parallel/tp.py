@@ -36,7 +36,11 @@ def decoder_tp_shardings(params: Any, mesh: Mesh) -> Any:
         nd = getattr(leaf, "ndim", 0)
         shape = getattr(leaf, "shape", ())
 
-        def ok(axis):  # dims must divide evenly across the model axis
+        def ok(axis):
+            # dims must divide evenly across the model axis; a non-dividing
+            # dim stays REPLICATED by design (e.g. the chartok vocab
+            # projection, V=229: at hidden 256 that matmul is ~59k MACs —
+            # far cheaper than the all-gather a padded shard would need)
             return shape[axis] % n_model == 0
 
         if nd >= 2:

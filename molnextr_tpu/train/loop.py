@@ -180,17 +180,34 @@ def evaluate_model(
     flush()
 
     local = {"seq": np.concatenate(seqs) if seqs else np.zeros((0, engine.max_len), np.int32)}
-    if edges_mats:
-        local["edges"] = np.concatenate(edges_mats)
+    if "edges" in cfg.data.formats:
+        # ALWAYS present (possibly zero-length) so every host runs the same
+        # gather sequence — a host whose shard produced no batches must not
+        # issue fewer collectives than its peers
+        k = engine.max_atoms
+        local["edges"] = (
+            np.concatenate(edges_mats)
+            if edges_mats
+            else np.zeros((0, k, k), np.int32)
+        )
     if world > 1:
-        # golds for synthetic samples may be re-canonicalized per host; a
-        # barrier-free exchange is unnecessary because every host renders
-        # deterministically from the same SMILES list
+        # golds for synthetic rows are re-canonicalized by the host that
+        # rendered them; ship the strings as fixed-width byte rows so the
+        # main process scores against exactly what each host rendered
+        GOLD_W = 512
+        gold_bytes = np.zeros((len(kept_idx), GOLD_W), np.uint8)
+        for r, i in enumerate(kept_idx):
+            enc = (golds_all[i] or "").encode("utf-8")[:GOLD_W]
+            gold_bytes[r, : len(enc)] = np.frombuffer(enc, np.uint8)
+        local["gold"] = gold_bytes
         gathered, idx = _gather_shards(
             local, np.asarray(kept_idx, np.int32), gather_arrays, world
         )
         if not is_main_process():
             return {}
+        for r, i in enumerate(idx):
+            raw = bytes(gathered["gold"][r])
+            golds_all[i] = raw.rstrip(b"\x00").decode("utf-8", "replace")
     else:
         gathered, idx = local, np.asarray(kept_idx, np.int32)
 
@@ -296,7 +313,15 @@ def train_loop(
     state = create_train_state(
         cfg, model, jax.random.PRNGKey(cfg.train.seed), total_steps, init_batch
     )
-    criterion = Criterion(cfg.data.formats, cfg.train.label_smoothing)
+    coord_vocab = None
+    for fmt in cfg.data.formats:
+        tok = tokenizers.get(fmt)
+        if fmt.endswith("_coords") and tok is not None and not tok.continuous_coords:
+            coord_vocab = (tok.offset, tok.maxx, tok.maxy, tok.sep_xy)
+            break
+    criterion = Criterion(
+        cfg.data.formats, cfg.train.label_smoothing, coord_vocab=coord_vocab
+    )
     compiled = None
     ckpt = CheckpointManager(cfg.train.save_path, cfg.train.save_mode)
     start_epoch = 0
@@ -361,9 +386,14 @@ def train_loop(
                 loss_meter.update(host.pop("loss"), host, n=cfg.train.batch_size)
                 pct = (bidx + 1) / steps_per_epoch
                 n_live = len(jax.live_arrays())
+                accs = " ".join(
+                    f"{k[4:]} {v:.3f}" for k, v in host.items()
+                    if k.startswith("acc_")
+                )
                 print_rank_0(
                     f"epoch {epoch} [{bidx + 1}/{steps_per_epoch}] "
                     f"loss {loss_meter.val:.4f} (avg {loss_meter.avg:.4f}) "
+                    f"{accs} "
                     f"data {data_time.avg:.3f}s batch {batch_time.avg:.3f}s "
                     f"live_arrays {n_live} "
                     f"{time_since(start, (epoch + pct) / cfg.train.epochs)}"
@@ -393,6 +423,10 @@ def train_loop(
                         "epoch": epoch,
                         "step": global_step,
                         "train_loss": loss_meter.epoch.avg,
+                        **{
+                            f"train_{k}": m.epoch.avg
+                            for k, m in loss_meter.subs.items()
+                        },
                         **{f"valid_{k}": v for k, v in scores.items()},
                     }
                 )

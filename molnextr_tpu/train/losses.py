@@ -109,14 +109,62 @@ class Criterion:
     ``(total, {name: value})``.
     """
 
-    def __init__(self, formats: Tuple[str, ...], label_smoothing: float = 0.1):
+    def __init__(
+        self,
+        formats: Tuple[str, ...],
+        label_smoothing: float = 0.1,
+        coord_vocab: Optional[Tuple[int, int, int, bool]] = None,
+    ):
+        """``coord_vocab`` = (offset, maxx, maxy, sep_xy) of the primary
+        coordinate tokenizer; when given, teacher-forced argmax accuracy is
+        reported separately for symbol / x-bin / y-bin token classes so
+        "coordinates converge late" is a measurement, not a guess."""
         self.formats = tuple(formats)
         self.smoothing = label_smoothing
+        self.coord_vocab = coord_vocab
+
+    def _seq_accuracies(
+        self, logits: jnp.ndarray, labels: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        off, maxx, maxy, sep_xy = self.coord_vocab
+        targets = labels[:, 1:]
+        pred = jnp.argmax(logits, axis=-1)
+        valid = (targets != PAD_ID) & (targets != MASK_ID)
+        correct = (pred == targets) & valid
+
+        def acc(mask):
+            m = valid & mask
+            return (correct & m).sum() / jnp.maximum(m.sum(), 1)
+
+        if sep_xy:
+            is_x = (targets >= off) & (targets < off + maxx)
+            is_y = targets >= off + maxx
+            return {
+                "acc_sym": acc(~is_x & ~is_y),
+                "acc_x": acc(is_x),
+                "acc_y": acc(is_y),
+            }
+        is_coord = targets >= off
+        return {"acc_sym": acc(~is_coord), "acc_xy": acc(is_coord)}
+
+    @staticmethod
+    def _edge_accuracies(
+        edge_logits: jnp.ndarray, edge_targets: jnp.ndarray
+    ) -> Dict[str, jnp.ndarray]:
+        pred = jnp.argmax(edge_logits.transpose(0, 2, 3, 1), axis=-1)
+        valid = edge_targets != EDGE_IGNORE
+        correct = (pred == edge_targets) & valid
+        bond = valid & (edge_targets > 0)
+        return {
+            "acc_edge": (correct & valid).sum() / jnp.maximum(valid.sum(), 1),
+            "acc_bond": (correct & bond).sum() / jnp.maximum(bond.sum(), 1),
+        }
 
     def __call__(
         self, outputs: Dict[str, Any], refs: Dict[str, jnp.ndarray]
     ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
         losses: Dict[str, jnp.ndarray] = {}
+        metrics: Dict[str, jnp.ndarray] = {}
         for fmt in self.formats:
             if fmt == "edges":
                 losses[fmt] = graph_loss(
@@ -125,9 +173,12 @@ class Criterion:
                     outputs.get("coords"),
                     refs.get("coords"),
                 )
+                metrics.update(self._edge_accuracies(outputs["edges"], refs["edges"]))
             else:
                 losses[fmt] = sequence_loss(outputs[fmt], refs[fmt], self.smoothing)
+                if self.coord_vocab is not None and fmt.endswith("_coords"):
+                    metrics.update(self._seq_accuracies(outputs[fmt], refs[fmt]))
         total = jnp.asarray(0.0, jnp.float32)
         for v in losses.values():
             total = total + v
-        return total, losses
+        return total, {**losses, **metrics}

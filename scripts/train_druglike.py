@@ -61,6 +61,12 @@ def build_config(args):
         train_steps_per_epoch=args.steps_per_epoch,
     )
     cfg.decode.batch_size = 64
+    if args.no_augment:
+        # pipeline sanity mode: deterministic renders, no image noise —
+        # a correct pipeline must be able to memorize a small corpus fast
+        cfg.data.mol_augment = False
+        cfg.data.augment = False
+        cfg.data.include_condensed = False
     return cfg
 
 
@@ -79,6 +85,12 @@ def main():
     p.add_argument("--save-path", default="output/druglike")
     p.add_argument("--resume", default=None)
     p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--no-augment", action="store_true")
+    p.add_argument(
+        "--eval-train", action="store_true",
+        help="evaluate on the first --valid TRAIN samples (overfit check)",
+    )
+    p.add_argument("--max-mol-atoms", type=int, default=40)
     args = p.parse_args()
 
     from molnextr_tpu.data import Sample
@@ -97,10 +109,14 @@ def main():
     os.makedirs(args.save_path, exist_ok=True)
 
     print_rank_0(f"generating corpus: {args.corpus} train + {args.valid} valid")
-    train_smiles = generate_corpus(args.corpus, seed=42, max_atoms=40)
-    valid_smiles = generate_corpus(
-        args.valid, seed=20260816, existing=set(train_smiles), max_atoms=40
-    )
+    train_smiles = generate_corpus(args.corpus, seed=42, max_atoms=args.max_mol_atoms)
+    if args.eval_train:
+        valid_smiles = train_smiles[: args.valid]
+    else:
+        valid_smiles = generate_corpus(
+            args.valid, seed=20260816, existing=set(train_smiles),
+            max_atoms=args.max_mol_atoms,
+        )
     with open(os.path.join(args.save_path, "corpus_valid.txt"), "w") as f:
         f.write("\n".join(valid_smiles))
     print_rank_0(f"corpus ready: {len(train_smiles)} train / {len(valid_smiles)} valid")
