@@ -261,6 +261,7 @@ def train_loop(
     num_workers: Optional[int] = None,
     print_freq: int = 50,
     do_eval: bool = True,
+    eval_every: int = 1,
     save_images: int = 0,
     profile_steps: int = 0,
     resume: Optional[str] = None,
@@ -402,7 +403,10 @@ def train_loop(
             t_prev = time.time()
 
         scores: Dict[str, Any] = {}
-        if do_eval and valid_samples:
+        is_eval_epoch = (
+            (epoch + 1) % max(eval_every, 1) == 0 or epoch == cfg.train.epochs - 1
+        )
+        if do_eval and valid_samples and is_eval_epoch:
             if eval_engine is None:
                 from molnextr_tpu.inference import InferenceEngine
 

@@ -85,6 +85,7 @@ def main():
     p.add_argument("--save-path", default="output/druglike")
     p.add_argument("--resume", default=None)
     p.add_argument("--no-eval", action="store_true")
+    p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--no-augment", action="store_true")
     p.add_argument(
         "--eval-train", action="store_true",
@@ -128,6 +129,7 @@ def main():
         num_workers=args.workers,
         print_freq=25,
         do_eval=not args.no_eval,
+        eval_every=args.eval_every,
         resume=args.resume,
     )
     print_rank_0(f"done at step {int(state.step)}")
