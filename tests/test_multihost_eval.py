@@ -131,3 +131,51 @@ class TestEvalEngineReuse:
         )
         assert scores["n"] == 2
         assert "canon_smiles" in scores
+
+
+class TestTwoProcessGather:
+    def test_two_real_jax_processes(self, tmp_path):
+        """Run evaluate_model's world>1 branch across TWO real JAX CPU
+        processes (``jax.distributed.initialize`` + gloo collectives), so the
+        actual ``process_allgather`` path — not a fake — is executed.
+
+        Replaces-the-reference check for ``dist.all_gather_object``
+        (`/root/reference/main.py:294-301`)."""
+        import os
+        import socket
+        import subprocess
+        import sys
+
+        worker = os.path.join(os.path.dirname(__file__), "multihost_eval_worker.py")
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        env = dict(os.environ)
+        env["JAX_PLATFORMS"] = "cpu"
+        env["PALLAS_AXON_POOL_IPS"] = ""
+        env.pop("XLA_FLAGS", None)  # 1 local CPU device per process
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(r), str(port), str(tmp_path)],
+                env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            )
+            for r in range(2)
+        ]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=600)
+            outs.append(out.decode("utf-8", "replace"))
+        for r, p in enumerate(procs):
+            assert p.returncode == 0, f"rank{r} failed:\n{outs[r][-4000:]}"
+
+        import json
+
+        with open(tmp_path / "rank0.json") as f:
+            scores0 = json.load(f)
+        with open(tmp_path / "rank1.json") as f:
+            scores1 = json.load(f)
+        # main process scores the full gathered set; non-main returns {}
+        assert scores1 == {}
+        assert scores0["n"] == 5
+        assert "canon_smiles" in scores0
