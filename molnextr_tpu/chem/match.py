@@ -20,7 +20,10 @@ def _composition(mol: Mol):
     """Multiset of (symbol, charge, aromatic) per atom, cached on the Mol."""
     from collections import Counter
 
-    key = (mol.num_atoms(), sum(1 for _ in mol.iter_bonds()))
+    # O(1) validity key: composition depends only on atom fields, so atom
+    # count plus the bond-list length (tombstones included) is as protective
+    # as the old live-bond count, without re-scanning bonds per call
+    key = (len(mol.atoms), len(mol.bonds))
     cached = getattr(mol, "_composition_cache", None)
     if cached is not None and cached[0] == key:
         return cached[1]
@@ -62,9 +65,12 @@ def find_substructures(
         return []
     # composition pre-filter: if the pattern needs more atoms of some
     # (element, charge, aromatic) type than the molecule has, no match is
-    # possible — skip the expensive search entirely
-    if _composition(pattern) - _composition(mol):
-        return []
+    # possible — skip the expensive search entirely.  (Plain dict loop:
+    # Counter.__sub__ copies both counters and was itself hot.)
+    mc = _composition(mol)
+    for k, c in _composition(pattern).items():
+        if mc.get(k, 0) < c:
+            return []
     # native C++ fast path (the host hot loop of synthetic data generation)
     from molnextr_tpu.native import find_substructures_native
 

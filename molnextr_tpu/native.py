@@ -111,6 +111,13 @@ def _graph_arrays(mol) -> Dict[str, np.ndarray]:
         "explicit_h": explicit_h, "total_h": total_h, "has_alias": has_alias,
         "adj_off": off, "adj_nbr": nbr, "adj_ord": ordv,
     }
+    # pre-build the ctypes pointers once: data_as() per call dominated the
+    # native dispatch cost (20 conversions per match call)
+    arrays["ptrs"] = tuple(
+        _ptr(arrays[k])
+        for k in ("sym", "charge", "aromatic", "explicit_h", "total_h",
+                  "has_alias", "adj_off", "adj_nbr", "adj_ord")
+    )
     mol._native_arrays = arrays
     return arrays
 
@@ -138,13 +145,7 @@ def find_substructures_native(
             af[k] = v
     out = np.zeros(max_matches * np_, np.int32)
     found = lib.mnx_find_substructures(
-        g["n"], _ptr(g["sym"]), _ptr(g["charge"]), _ptr(g["aromatic"]),
-        _ptr(g["explicit_h"]), _ptr(g["total_h"]), _ptr(g["has_alias"]),
-        _ptr(g["adj_off"]), _ptr(g["adj_nbr"]), _ptr(g["adj_ord"]),
-        np_, _ptr(p["sym"]), _ptr(p["charge"]), _ptr(p["aromatic"]),
-        _ptr(p["explicit_h"]), _ptr(p["total_h"]), _ptr(p["has_alias"]),
-        _ptr(p["adj_off"]), _ptr(p["adj_nbr"]), _ptr(p["adj_ord"]),
-        _ptr(af), _ptr(out), max_matches,
+        g["n"], *g["ptrs"], np_, *p["ptrs"], _ptr(af), _ptr(out), max_matches,
     )
     return [
         {pi: int(out[m * np_ + pi]) for pi in range(np_)} for m in range(found)
