@@ -103,15 +103,22 @@ class CheckpointManager:
         if self.mode == "best":
             # ckpt_last is written UNCONDITIONALLY every epoch so `--resume
             # last` always finds the newest weights (improving-every-epoch
-            # runs previously never created it)
-            self._write_snapshot(self._snapshot_dir("last"), cfg, state, epoch, score)
+            # runs previously never created it); on improving epochs
+            # ckpt_best is a DISK COPY of it — the device->host fetch of
+            # params+opt dominates save time (it rides the TPU tunnel), so
+            # it must happen exactly once per save
+            last = self._snapshot_dir("last")
+            self._write_snapshot(last, cfg, state, epoch, score)
             if not is_best:
                 return None
             path = self._snapshot_dir("best")
+            if os.path.exists(path):
+                shutil.rmtree(path)
+            shutil.copytree(last, path)
         else:
             tag = f"ep{epoch}" if self.mode == "all" else "last"
             path = self._snapshot_dir(tag)
-        self._write_snapshot(path, cfg, state, epoch, score)
+            self._write_snapshot(path, cfg, state, epoch, score)
         if is_best:
             self._best = score
             with open(os.path.join(self.save_path, BEST_SCORES), "w") as f:
@@ -123,7 +130,10 @@ class CheckpointManager:
         if os.path.exists(path):
             shutil.rmtree(path)
         os.makedirs(path)
-        save_model(path, cfg, state.params)
+        # one batched device->host transfer for the whole state (per-leaf
+        # np.asarray issues a tunnel roundtrip per array)
+        host_params, host_opt = jax.device_get((state.params, state.opt_state))
+        save_model(path, cfg, host_params)
         extra = {
             "step": int(state.step),
             "epoch": epoch,
@@ -131,11 +141,8 @@ class CheckpointManager:
         }
         with open(os.path.join(path, "train_meta.json"), "w") as f:
             json.dump(extra, f)
-        opt_bytes = serialization.to_bytes(
-            jax.tree_util.tree_map(np.asarray, state.opt_state)
-        )
         with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
-            f.write(opt_bytes)
+            f.write(serialization.to_bytes(host_opt))
 
     def restore(self, state, tag: str = "best"):
         """Restore a train state (params + opt state + step) in place of the
