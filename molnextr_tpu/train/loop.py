@@ -337,15 +337,34 @@ def train_loop(
     global_step = int(state.step)
     start = time.time()
     eval_engine = None
+    def _epoch_batches(epoch: int):
+        """Up to steps_per_epoch batches, cycling (and reshuffling) the
+        loader when train_steps_per_epoch asks for more steps than one pass
+        provides — a cap-only break silently shrank such epochs to one
+        loader pass."""
+        produced = 0
+        pass_i = 0
+        while produced < steps_per_epoch:
+            if pass_i:
+                loader.set_epoch(epoch + 9973 * pass_i)
+            got_any = False
+            for b in loader:
+                got_any = True
+                yield b
+                produced += 1
+                if produced >= steps_per_epoch:
+                    return
+            if not got_any:
+                return
+            pass_i += 1
+
     for epoch in range(start_epoch, cfg.train.epochs):
         loader.set_epoch(epoch)
         loss_meter = LossMeter()
         batch_time = AverageMeter()
         data_time = AverageMeter()
         t_prev = time.time()
-        for bidx, batch in enumerate(loader):
-            if bidx >= steps_per_epoch:
-                break
+        for bidx, batch in enumerate(_epoch_batches(epoch)):
             data_time.update(time.time() - t_prev)
             batch.pop("smiles", None)
             batch["refs"].pop("num_atoms", None)
