@@ -99,6 +99,10 @@ class DataConfig:
     # augmentation frozen; image augmentations still vary) — rendering is
     # the dominant host cost on low-core hosts
     render_cache: bool = False
+    # render TRAIN images with the deterministic default style (the one
+    # eval uses) instead of per-sample style jitter — pipeline sanity /
+    # overfit probes need train and eval renders to be pixel-identical
+    default_style: bool = False
 
 
 @dataclass
@@ -121,6 +125,16 @@ class TrainConfig:
     bf16: bool = True
     mesh_shape: Tuple[int, ...] = (-1,)  # -1 => all devices on the data axis
     mesh_axes: Tuple[str, ...] = ("data",)
+    # Auxiliary dense supervision on the encoder: a per-cell atom
+    # presence + element-class head over the stride-8 feature map.  The
+    # reference trains from an ImageNet-pretrained Swin; from scratch the
+    # decoder's teacher-forced LM shortcut starves the encoder of gradient
+    # and its output collapses to a constant (measured: memory spatial std
+    # 0.002 vs 0.11 overall after 400 overfit steps, predictions identical
+    # for a blank image).  Dense heatmap gradients make collapse impossible.
+    # weight 0.0 disables the head (and removes its params from the tree).
+    aux_heatmap_weight: float = 1.0
+    aux_heatmap_stride: int = 8
 
 
 @dataclass

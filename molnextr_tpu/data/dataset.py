@@ -103,6 +103,7 @@ class TrainDataset:
         rendered = generate_synthetic_image(
             sample.smiles,
             mol_augment=self.cfg.data.mol_augment,
+            default_option=self.cfg.data.default_style,
             shuffle_nodes=self.cfg.data.shuffle_nodes,
             include_condensed=self.cfg.data.include_condensed,
             size=self.cfg.data.input_size,
@@ -122,6 +123,30 @@ class TrainDataset:
                 rendered = (img, smiles, graph, ok)
             self._render_cache[idx] = rendered
         return rendered
+
+    def _atom_grid(self, coords01, symbols, img_size: int) -> np.ndarray:
+        """Per-cell element-class label grid for the auxiliary heatmap
+        (stride-8 over the transformed image).
+
+        -1 = no atom in the cell, -2 = unlabeled sample (real image without
+        node coordinates — the loss must skip it entirely), otherwise a
+        ``HEATMAP_ELEMENTS`` class id.  Ties (two atoms in one cell) keep
+        the last writer; at 192px/stride 8 a cell is 8px and typical bond
+        lengths are ~25px, so collisions are rare.
+        """
+        from molnextr_tpu.models.heads import heatmap_class_of
+
+        g = img_size // self.cfg.train.aux_heatmap_stride
+        if coords01 is None or symbols is None:
+            return np.full((g, g), -2, np.int8)
+        grid = np.full((g, g), -1, np.int8)
+        for (x, y), sym in zip(np.asarray(coords01), symbols):
+            if not (0.0 <= x <= 1.0 and 0.0 <= y <= 1.0):
+                continue
+            cx = min(int(x * g), g - 1)
+            cy = min(int(y * g), g - 1)
+            grid[cy, cx] = heatmap_class_of(sym)
+        return grid
 
     def _build(self, sample: Sample, idx: int = -1) -> Optional[Dict[str, Any]]:
         import cv2
@@ -160,6 +185,8 @@ class TrainDataset:
         coords01 = _normalize_keypoints(kps, h, w) if len(kps) else None
 
         item: Dict[str, Any] = {"image": image, "smiles": smiles}
+        if self.cfg.train.aux_heatmap_weight > 0:
+            item["atom_grid"] = self._atom_grid(coords01, symbols, h)
         for fmt in self.formats:
             tok = self.tokenizers[fmt]
             max_len = min(FORMAT_INFO[fmt]["max_len"], self.cfg.decoder.max_len)
@@ -241,6 +268,10 @@ def pad_batch(
                 kk = min(len(c), max_atoms)
                 coords[i, :kk] = c[:kk]
         refs["coords"] = coords
+    if all("atom_grid" in x for x in items):
+        refs["atom_grid"] = np.stack(
+            [x["atom_grid"] for x in items]
+        ).astype(np.int32)
     if "edges" in formats:
         edges = np.full((b, max_atoms, max_atoms), EDGE_IGNORE, np.int32)
         for i, x in enumerate(items):

@@ -57,6 +57,61 @@ class GraphPredictor(nn.Module):
         return out
 
 
+# Element classes for the auxiliary atom heatmap (last slot = "other",
+# covering superatom aliases, R-groups and rare elements).
+HEATMAP_ELEMENTS = ("C", "N", "O", "S", "F", "Cl", "Br", "I", "P", "B", "Si")
+
+
+def heatmap_class_of(symbol: str) -> int:
+    """Map a graph node symbol (possibly bracketed, charged, aromatic or a
+    superatom alias) onto a HEATMAP_ELEMENTS class; unknown -> len(list)."""
+    s = symbol.strip("[]")
+    # strip isotope digits to reach the leading element token
+    i = 0
+    while i < len(s) and s[i].isdigit():
+        i += 1
+    s = s[i:]
+    two, one = s[:2].capitalize(), s[:1].upper()
+    for j, el in enumerate(HEATMAP_ELEMENTS):
+        if len(el) == 2 and two == el:
+            return j
+    if two in ("Cl", "Br", "Si"):  # two-letter element not in the list
+        return len(HEATMAP_ELEMENTS)
+    for j, el in enumerate(HEATMAP_ELEMENTS):
+        if len(el) == 1 and one == el:
+            return j
+    return len(HEATMAP_ELEMENTS)
+
+
+class AtomHeatmapHead(nn.Module):
+    """Auxiliary dense atom detector over encoder feature maps.
+
+    Reads the FINAL encoder stage (so every encoder layer receives dense
+    gradient — supervising an early stage alone would let later stages
+    collapse) upsampled to the stride-8 grid, plus the stride-8 stage map
+    as a skip, and predicts per-cell [atom-presence logit, element-class
+    logits].  Purely a training-time head: inference never calls it, and
+    with ``aux_heatmap_weight == 0`` the model omits it entirely.
+    """
+
+    hidden: int = 128
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, fine: jnp.ndarray, coarse: jnp.ndarray) -> jnp.ndarray:
+        """fine: (B, G, G, Cf) stride-8 map; coarse: (B, g, g, Cc) final map.
+        Returns (B, G, G, 1 + n_classes) logits."""
+        b, gf, _, _ = fine.shape
+        up = jax.image.resize(
+            coarse, (b, gf, gf, coarse.shape[-1]), method="nearest"
+        )
+        y = nn.Dense(self.hidden, dtype=self.dtype, name="fine")(fine)
+        y = y + nn.Dense(self.hidden, dtype=self.dtype, name="coarse")(up)
+        y = jax.nn.gelu(y, approximate=False)
+        n_out = 1 + len(HEATMAP_ELEMENTS) + 1
+        return nn.Dense(n_out, dtype=self.dtype, name="out")(y)
+
+
 def symmetrize_edge_probs(prob: jnp.ndarray) -> jnp.ndarray:
     """Symmetrize (K, K, 7) or (B, K, K, 7) edge probabilities.
 

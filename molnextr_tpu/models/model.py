@@ -19,7 +19,7 @@ from flax import linen as nn
 from molnextr_tpu.config import Config
 from molnextr_tpu.models.convnext import ConvNeXtEncoder
 from molnextr_tpu.models.decoder import Decoder
-from molnextr_tpu.models.heads import GraphPredictor
+from molnextr_tpu.models.heads import AtomHeatmapHead, GraphPredictor
 from molnextr_tpu.models.swin import SwinEncoder
 
 
@@ -54,6 +54,8 @@ class MolNexTRModel(nn.Module):
             self.edges_head = GraphPredictor(
                 cfg.decoder.hidden_size, coords=cfg.data.continuous_coords, dtype=self.dtype
             )
+        if cfg.train.aux_heatmap_weight > 0:
+            self.heatmap_head = AtomHeatmapHead(dtype=self.dtype)
 
     def encoder_dim(self) -> int:
         return self.cfg.encoder.num_features
@@ -80,8 +82,18 @@ class MolNexTRModel(nn.Module):
         refs["atom_indices"]: (B, K) positions of atom tokens (-1 padded)
         Returns {fmt: logits (B, T-1, V)} plus "edges" logits.
         """
-        memory = self.encode(images, deterministic)
+        feats, hiddens = self.encoder(images, deterministic)
+        if self.cfg.decoder.enc_pos_emb:
+            pos = self.enc_pos(jnp.arange(feats.shape[1]))
+            feats = feats + pos[None].astype(feats.dtype)
+        memory = self.enc_trans(feats)
         out: Dict[str, Any] = {}
+        if self.cfg.train.aux_heatmap_weight > 0:
+            # stride-8 map = the stage whose downsampling factor is
+            # patch_size * 2 (index 1 for patch 4); final map carries the
+            # gradient through the whole encoder
+            stride8 = hiddens[1] if len(hiddens) > 1 else hiddens[0]
+            out["heatmap"] = self.heatmap_head(stride8, hiddens[-1])
         last_hidden = None
         prime_fmt = None
         for fmt in self.cfg.data.formats:

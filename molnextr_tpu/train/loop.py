@@ -321,7 +321,8 @@ def train_loop(
             coord_vocab = (tok.offset, tok.maxx, tok.maxy, tok.sep_xy)
             break
     criterion = Criterion(
-        cfg.data.formats, cfg.train.label_smoothing, coord_vocab=coord_vocab
+        cfg.data.formats, cfg.train.label_smoothing, coord_vocab=coord_vocab,
+        heatmap_weight=cfg.train.aux_heatmap_weight,
     )
     compiled = None
     ckpt = CheckpointManager(cfg.train.save_path, cfg.train.save_mode)

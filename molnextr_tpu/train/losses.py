@@ -102,6 +102,38 @@ def graph_loss(
     return loss
 
 
+def heatmap_loss(
+    logits: jnp.ndarray, grid: jnp.ndarray, pos_weight: float = 10.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Auxiliary dense atom-detection loss (no reference counterpart: the
+    reference fine-tunes a pretrained encoder, `train.sh`; from scratch the
+    encoder needs dense gradients — see TrainConfig.aux_heatmap_weight).
+
+    logits: (B, G, G, 1 + C) — [presence, element classes].
+    grid:   (B, G, G) int; -1 = empty cell, -2 = unlabeled sample, >= 0 =
+    element class.  Returns (loss, presence-recall metric).
+    """
+    presence = logits[..., 0].astype(jnp.float32)
+    classes = logits[..., 1:].astype(jnp.float32)
+    known = grid != -2
+    pos = grid >= 0
+    # sigmoid BCE with positive weighting (~5% of cells hold an atom)
+    target = pos.astype(jnp.float32)
+    bce = jnp.maximum(presence, 0) - presence * target + jnp.log1p(
+        jnp.exp(-jnp.abs(presence))
+    )
+    w = jnp.where(pos, pos_weight, 1.0) * known.astype(jnp.float32)
+    loss = (bce * w).sum() / jnp.maximum(w.sum(), 1.0)
+    # element-class CE on atom cells
+    logp = jax.nn.log_softmax(classes, axis=-1)
+    safe = jnp.where(pos, grid, 0)
+    nll = -jnp.take_along_axis(logp, safe[..., None], axis=-1)[..., 0]
+    posf = pos.astype(jnp.float32)
+    loss = loss + (nll * posf).sum() / jnp.maximum(posf.sum(), 1.0)
+    recall = ((presence > 0) & pos).sum() / jnp.maximum(pos.sum(), 1)
+    return loss, recall
+
+
 class Criterion:
     """Per-format loss dispatcher (`loss_fuc.py:117-151`).
 
@@ -114,6 +146,7 @@ class Criterion:
         formats: Tuple[str, ...],
         label_smoothing: float = 0.1,
         coord_vocab: Optional[Tuple[int, int, int, bool]] = None,
+        heatmap_weight: float = 0.0,
     ):
         """``coord_vocab`` = (offset, maxx, maxy, sep_xy) of the primary
         coordinate tokenizer; when given, teacher-forced argmax accuracy is
@@ -122,6 +155,7 @@ class Criterion:
         self.formats = tuple(formats)
         self.smoothing = label_smoothing
         self.coord_vocab = coord_vocab
+        self.heatmap_weight = heatmap_weight
 
     def _seq_accuracies(
         self, logits: jnp.ndarray, labels: jnp.ndarray
@@ -178,6 +212,14 @@ class Criterion:
                 losses[fmt] = sequence_loss(outputs[fmt], refs[fmt], self.smoothing)
                 if self.coord_vocab is not None and fmt.endswith("_coords"):
                     metrics.update(self._seq_accuracies(outputs[fmt], refs[fmt]))
+        if (
+            self.heatmap_weight > 0
+            and "heatmap" in outputs
+            and "atom_grid" in refs
+        ):
+            hl, recall = heatmap_loss(outputs["heatmap"], refs["atom_grid"])
+            losses["heatmap"] = self.heatmap_weight * hl
+            metrics["acc_heat"] = recall
         total = jnp.asarray(0.0, jnp.float32)
         for v in losses.values():
             total = total + v

@@ -63,10 +63,13 @@ def build_config(args):
     cfg.decode.batch_size = 64
     if args.no_augment:
         # pipeline sanity mode: deterministic renders, no image noise —
-        # a correct pipeline must be able to memorize a small corpus fast
+        # a correct pipeline must be able to memorize a small corpus fast.
+        # default_style makes train renders pixel-identical to eval renders
+        # (eval always draws with the jitter-free default RenderOptions).
         cfg.data.mol_augment = False
         cfg.data.augment = False
         cfg.data.include_condensed = False
+        cfg.data.default_style = True
     return cfg
 
 
