@@ -187,11 +187,16 @@ class PatchMerging(nn.Module):
 
 
 def _pick_tile(t: int, cap: int = 512) -> int:
-    """Largest power-of-two tile <= cap that divides t (>= 8 if possible)."""
+    """Largest power-of-two tile <= cap that divides t (>= 8 if possible).
+
+    When no aligned tile divides t (e.g. t=36 rows at batch 1), fall back
+    to the whole array as a single block — Mosaic requires block dims to be
+    (8, 128)-aligned OR equal to the full array dims, so a tile of 1 row is
+    rejected while the full t x C block is always legal."""
     tile = cap
     while tile > 8 and t % tile != 0:
         tile //= 2
-    return tile if t % tile == 0 else 1
+    return tile if (t % tile == 0 and tile >= 8) else t
 
 
 class SwinEncoder(nn.Module):

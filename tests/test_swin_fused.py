@@ -148,3 +148,16 @@ class TestFusedEncoderPath:
         assert len(got_hidden) == len(ref_hidden)
         for g, r in zip(got_hidden, ref_hidden):
             np.testing.assert_allclose(np.asarray(g), np.asarray(r), rtol=3e-4, atol=3e-4)
+
+
+class TestPickTile:
+    def test_aligned_and_fallback(self):
+        from molnextr_tpu.models.swin import _pick_tile
+
+        assert _pick_tile(1024) == 512
+        assert _pick_tile(16) == 16
+        assert _pick_tile(40) == 8
+        # batch-1 final stage: 36 rows — no aligned tile divides it, so the
+        # whole array must become a single (legal) block instead of tile=1
+        assert _pick_tile(36) == 36
+        assert _pick_tile(6) == 6
