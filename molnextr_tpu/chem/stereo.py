@@ -68,7 +68,7 @@ def perceive_db_stereo_from_directions(mol: Mol) -> List[DBStereo]:
 
 
 def _pseudo3d_positions(
-    mol: Mol, center: int, order: Sequence[int]
+    mol: Mol, center: int, order: Sequence[int], allow_far: bool = False
 ) -> Optional[np.ndarray]:
     """Positions for the ordered neighbors; -1 entries are the implicit H."""
     if not mol.coords:
@@ -84,9 +84,10 @@ def _pseudo3d_positions(
             bond = mol.bonds[bidx]
             if bond.wedge and bond.a1 == center:
                 z = 1.0 if bond.wedge == WEDGE_BEGIN else -1.0
-            elif bond.wedge and bond.a2 == center:
-                # wedge starts at the far atom; seen from here it's inverted
-                z = -0.0  # narrow end carries no depth information
+            elif bond.wedge and bond.a2 == center and allow_far:
+                # wedge narrow at the far atom, wide end here: the far atom
+                # sits below (wedge) / above (dash) this atom's plane
+                z = -1.0 if bond.wedge == WEDGE_BEGIN else 1.0
             pts.append((x - cx, -(y - cy), z))
         else:
             # implicit H: opposite the centroid of the real neighbors
@@ -104,36 +105,52 @@ def _signed_volume(p: np.ndarray) -> float:
 def assign_chirality_from_2d(mol: Mol) -> Mol:
     """Set tetrahedral tags from coords + wedge bonds (in place).
 
-    Only atoms with a wedge/dash bond *beginning* at them and 3-4 neighbors
-    get a tag, mirroring how the reference re-roots wedges at chiral centers
-    (`chemical.py:262-275`).  Non-carbon atoms are left untagged, matching
-    `chemical.py:277-280`.
+    Pass 1 tags atoms with a wedge/dash bond *beginning* at them (3-4
+    neighbors, carbon only — `chemical.py:277-280`).  Pass 2 re-roots
+    wedges whose narrow-end atom stayed untagged at their wide end with
+    inverted depth sense, mirroring how the reference re-roots wedges at
+    chiral centers (`chemical.py:262-275`): the antisymmetric edge-matrix
+    codes mean a predicted graph can legally deliver a wedge rooted at
+    either endpoint, and without re-rooting the stereocenter at the wide
+    end loses its tag entirely.
     """
     if not mol.coords:
         return mol
-    for idx, atom in enumerate(mol.atoms):
-        has_wedge = any(
-            b.wedge and b.a1 == idx for b in mol.bonds_of(idx)
-        )
-        if not has_wedge:
-            continue
+
+    def _tag(idx: int, atom, allow_far: bool) -> bool:
         if atom.symbol != "C":
-            continue
+            return False
         nbrs = mol.neighbors(idx)
         h = mol.implicit_h(idx) if atom.explicit_h < 0 else atom.explicit_h
         order: List[int] = list(nbrs)
         if len(order) == 3 and h == 1:
             order.append(-1)
         if len(order) != 4:
-            continue
-        pts = _pseudo3d_positions(mol, idx, order)
+            return False
+        pts = _pseudo3d_positions(mol, idx, order, allow_far=allow_far)
         if pts is None:
-            continue
+            return False
         vol = _signed_volume(pts)
         if abs(vol) < 1e-9:
-            continue
+            return False
         atom.chiral = CHI_CW if vol > 0 else CHI_CCW
         atom.chiral_order = order
+        return True
+
+    tagged = set()
+    for idx, atom in enumerate(mol.atoms):
+        if any(b.wedge and b.a1 == idx for b in mol.bonds_of(idx)):
+            if _tag(idx, atom, allow_far=False):
+                tagged.add(idx)
+    # The antisymmetric edge-matrix codes root every wedge at the lower atom
+    # index, so a wedge is a *relative z displacement* readable from either
+    # end; an atom whose only incident wedge is rooted at the far atom (e.g.
+    # the higher-index one of two adjacent stereocenters) still needs a tag.
+    for idx, atom in enumerate(mol.atoms):
+        if idx in tagged:
+            continue
+        if any(b.wedge and b.a2 == idx for b in mol.bonds_of(idx)):
+            _tag(idx, atom, allow_far=True)
     return mol
 
 

@@ -201,28 +201,49 @@ def add_rand_condensed(mol: Mol) -> Mol:
 
 def assign_wedges_from_chirality(mol: Mol) -> Mol:
     """Give each chiral center one wedge/dash bond consistent with its
-    parity, so rendered stereo matches the label stereo."""
+    parity, so rendered stereo matches the label stereo.
+
+    The probe mirrors the layout coords into the IMAGE frame (y down) before
+    perceiving: `render._scale_coords` negates y when rasterizing, and the
+    label/eval pipeline perceives chirality from those pixel-frame coords
+    (`graph.convert_graph_to_smiles` on `get_graph`/token coords).  A wedge
+    calibrated in the y-up layout frame would be systematically inverted when
+    perceived in the y-down frame — every chirality round-trip failed this
+    way until the frames were matched.
+    """
     from molnextr_tpu.chem.stereo import assign_chirality_from_2d
     from molnextr_tpu.chem.mol import CHI_NONE
 
     if not mol.coords:
         return mol
+    image_frame_coords = [(x, -y) for (x, y) in mol.coords]
     for idx, atom in enumerate(mol.atoms):
         want = atom.chiral
         if want == CHI_NONE:
             continue
-        # pick a non-ring single bond from the center if possible
+        # pick a non-ring single bond from the center if possible; prefer a
+        # neighbor that cannot itself be perceived as a far-end stereocenter
+        # (terminal / low-degree, achiral) so the antisymmetric matrix
+        # re-rooting never plants a spurious tag at the wide end
         bonds = [
             b for b in mol.bonds_of(idx) if b.order == SINGLE and not b.wedge
         ]
         if not bonds:
             continue
-        target = bonds[0]
+        target = min(
+            bonds,
+            key=lambda b: (
+                mol.atoms[b.other(idx)].chiral != CHI_NONE,
+                mol.degree(b.other(idx)) >= 3,
+                mol.degree(b.other(idx)),
+            ),
+        )
         if target.a1 != idx:
             target.a1, target.a2 = target.a2, target.a1
         for wedge in (WEDGE_BEGIN, DASH_BEGIN):
             target.wedge = wedge
             probe = mol.copy()
+            probe.coords = list(image_frame_coords)
             probe.atoms[idx].chiral = CHI_NONE
             assign_chirality_from_2d(probe)
             got = probe.atoms[idx]

@@ -266,6 +266,45 @@ class TestDruglikeCorpus:
             assert canonicalize_smiles(out)[0] == canonicalize_smiles(smi)[0], smi
 
 
+class TestChiralityRoundTrip:
+    """Gold render labels must reproduce the input stereo exactly.
+
+    Guards the y-frame convention: wedges are calibrated in the image frame
+    (y down) by `assign_wedges_from_chirality`, and `convert_graph_to_smiles`
+    perceives them back from the same frame — a mismatch inverted every
+    chirality round-trip (`chemical.py:212-287` is the behavior spec)."""
+
+    CASES = [
+        "C[C@H](N)C(=O)O",
+        "C[C@@H](N)C(=O)O",
+        "N[C@@H](Cc1ccccc1)C(=O)O",
+        "C[C@H]1CC[C@@H](O)CC1",          # ring cis/trans pseudo-centers
+        "O[C@H](Cl)[C@H](F)Br",           # adjacent centers, far-rooted wedge
+        "C[C@H](F)[C@@H](Cl)C(=O)O",
+        "C[C@@H]1CCCN1C",
+    ]
+
+    def test_gold_graph_reproduces_chirality(self):
+        import random
+
+        from molnextr_tpu.data.synthetic import generate_synthetic_image
+
+        random.seed(0)
+        for smi in self.CASES:
+            img, rendered, graph, ok = generate_synthetic_image(
+                smi, mol_augment=False, default_option=True, size=192
+            )
+            assert ok, smi
+            coords = np.asarray(graph["coords"], np.float32)
+            smiles, _, _ = convert_graph_to_smiles(
+                [coords], [graph["symbols"]], [np.asarray(graph["edges"])],
+                num_workers=1,
+            )
+            gold = canonicalize_smiles(rendered, ignore_chiral=False)[0]
+            pred = canonicalize_smiles(smiles[0], ignore_chiral=False)[0]
+            assert pred == gold, f"{smi}: {pred!r} != {gold!r}"
+
+
 class TestStereoWriterInvariance:
     def test_directions_renumbering_invariant(self):
         """Direction-marker assignment is parity-constraint BFS: output must
