@@ -214,7 +214,11 @@ def run_all(
     params=None,
     image_path: str = "/root/reference/examples/1.png",
     eval_csvs: Optional[Sequence[str]] = None,
+    n: int = 32,
 ) -> List[Dict[str, Any]]:
+    """``n`` scales the accuracy suites; at n=32 one image is ±3% so real
+    claims need n>=256 (the reference evaluates whole CSVs,
+    `evaluate.py:198-218`).  Beam runs at n/4 (beam-2 decodes 4x slower)."""
     import copy
     import os
 
@@ -223,13 +227,15 @@ def run_all(
     report = []
     if os.path.exists(image_path):
         report.append(suite_single_image(model, image_path))
-    report.append(suite_batch_inference(cfg, model, n=32))
+    report.append(suite_batch_inference(cfg, model, n=n))
     cfg_beam = copy.deepcopy(cfg)
     cfg_beam.decode.beam_size = 2
-    report.append(suite_batch_inference(cfg_beam, _engine(cfg_beam, model.params), n=8))
+    report.append(
+        suite_batch_inference(cfg_beam, _engine(cfg_beam, model.params), n=max(n // 4, 8))
+    )
     for csv in eval_csvs or [None]:
-        report.append(suite_dataset_eval(model, csv))
-    report.append(suite_perturbed(cfg, model))
+        report.append(suite_dataset_eval(model, csv, n_fallback=max(n // 2, 16)))
+    report.append(suite_perturbed(cfg, model, n=max(n // 2, 16)))
     # workers=0: this host exposes one core, where pool IPC reduces
     # throughput (see CLAUDE.md); multi-core hosts should raise it
     report.append(suite_train_throughput(cfg, num_workers=0))
@@ -244,6 +250,7 @@ def main(argv=None):
     p.add_argument("--tiny", action="store_true", help="tiny config (CI/smoke)")
     p.add_argument("--eval_csv", action="append", default=None)
     p.add_argument("--output", type=str, default=None)
+    p.add_argument("--n", type=int, default=32, help="accuracy-suite sample size")
     args = p.parse_args(argv)
     params = None
     if args.model_path:
@@ -256,7 +263,7 @@ def main(argv=None):
         cfg = tiny_test_config()
     else:
         cfg = Config()
-    report = run_all(cfg, params, eval_csvs=args.eval_csv)
+    report = run_all(cfg, params, eval_csvs=args.eval_csv, n=args.n)
     text = json.dumps(report, indent=2, default=float)
     if args.output:
         with open(args.output, "w") as f:

@@ -27,6 +27,39 @@ def build_config(args):
     )
 
     cfg = Config()
+    if args.flagship:
+        # the production configuration (Config() defaults = swin_base 384²,
+        # 6x256x8 decoder — `model.py:50-81`), global batch 256 via 4x64
+        # grad accumulation exactly like the reference's recipe
+        # (`exps/train.sh:3-42` trains global 64 = 2x32; we keep 256 to
+        # match the README's "default batch 256").  HBM fits only with
+        # decoder remat + the factored edge head (both default).
+        cfg.data = DataConfig(
+            input_size=384,
+            formats=("chartok_coords", "edges"),
+            max_atoms=64,
+            render_cache=True,
+        )
+        cfg.train = TrainConfig(
+            epochs=args.epochs,
+            batch_size=args.batch_size,
+            grad_accum_steps=max(args.batch_size // 64, 1),
+            encoder_lr=4e-4,
+            decoder_lr=4e-4,
+            warmup_ratio=0.02,
+            label_smoothing=0.1,
+            save_mode="best",
+            save_path=args.save_path,
+            num_workers=args.workers,
+            train_steps_per_epoch=args.steps_per_epoch,
+        )
+        cfg.decode.batch_size = 32
+        if args.no_augment:
+            cfg.data.mol_augment = False
+            cfg.data.augment = False
+            cfg.data.include_condensed = False
+            cfg.data.default_style = True
+        return cfg
     cfg.encoder = EncoderConfig(
         name="swin_medium",
         patch_size=4,
@@ -95,6 +128,10 @@ def main():
         help="evaluate on the first --valid TRAIN samples (overfit check)",
     )
     p.add_argument("--max-mol-atoms", type=int, default=40)
+    p.add_argument(
+        "--flagship", action="store_true",
+        help="train the production swin_base 384² config (grad-accum to batch 256)",
+    )
     args = p.parse_args()
 
     from molnextr_tpu.data import Sample
