@@ -118,6 +118,12 @@ class TrainConfig:
     warmup_ratio: float = 0.02
     label_smoothing: float = 0.1
     grad_accum_steps: int = 1
+    # optimizer updates per device dispatch (lax.scan inside one jit):
+    # amortizes the remote-runtime per-dispatch latency, which dominates
+    # small-model steps on the TPU tunnel (measured 2.8-9s/dispatch vs
+    # ~0.3s of compute).  1 = one dispatch per step (the reference's
+    # structure, `main.py:204-255`).
+    dispatch_steps: int = 1
     save_mode: str = "best"  # best | all | last
     save_path: str = "output/"
     num_workers: int = 8

@@ -12,6 +12,7 @@ from molnextr_tpu.parallel.mesh import (
     pad_to_devices,
     replicated,
     shard_batch,
+    shard_batch_group,
 )
 
 __all__ = [
@@ -19,6 +20,7 @@ __all__ = [
     "data_sharding",
     "replicated",
     "shard_batch",
+    "shard_batch_group",
     "local_batch_size",
     "pad_to_devices",
     "initialize",

@@ -55,6 +55,13 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
+def shard_batch_group(mesh: Mesh, group):
+    """Place a stacked (K, batch, ...) dispatch group onto the mesh: the
+    leading scan axis replicated, the batch dim sharded over ``data``."""
+    s = NamedSharding(mesh, P(None, "data"))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), group)
+
+
 def local_batch_size(global_batch: int, mesh: Mesh) -> int:
     n = mesh.devices.size
     if global_batch % n:

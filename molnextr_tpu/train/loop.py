@@ -28,11 +28,11 @@ from molnextr_tpu.checkpoint import CheckpointManager
 from molnextr_tpu.config import Config
 from molnextr_tpu.data import DataLoader, Sample, TrainDataset
 from molnextr_tpu.models.model import MolNexTRModel
-from molnextr_tpu.parallel import make_mesh, shard_batch
+from molnextr_tpu.parallel import make_mesh, shard_batch, shard_batch_group
 from molnextr_tpu.tokenization import get_tokenizer
 from molnextr_tpu.train.losses import Criterion
 from molnextr_tpu.train.state import TrainState, create_train_state
-from molnextr_tpu.train.step import jit_train_step
+from molnextr_tpu.train.step import jit_multi_train_step, jit_train_step
 from molnextr_tpu.utils import AverageMeter, LossMeter, print_rank_0, seed_everything, time_since
 
 
@@ -97,6 +97,7 @@ def evaluate_model(
     batch_size: Optional[int] = None,
     dump_csv: Optional[str] = None,
     engine=None,
+    render_cache: Optional[Dict[int, Any]] = None,
 ) -> Dict[str, Any]:
     """Greedy-decode the validation set and score it (`main.py:430-529`).
 
@@ -155,6 +156,16 @@ def evaluate_model(
     for i in my_rows:
         sample = ds.samples[i]
         if sample.image_path is None:
+            # validation renders are deterministic (no augment, default
+            # style), so per-epoch eval can reuse them across calls
+            if render_cache is not None and i in render_cache:
+                transformed, smiles = render_cache[i]
+                golds_all[i] = smiles
+                batch_imgs.append(transformed)
+                batch_idx.append(i)
+                if len(batch_imgs) == bs:
+                    flush()
+                continue
             from molnextr_tpu.data.synthetic import generate_synthetic_image
 
             img, smiles, graph, ok = generate_synthetic_image(
@@ -165,6 +176,8 @@ def evaluate_model(
                 continue
             golds_all[i] = smiles  # canonical form actually rendered
             out = ds.transform(image=img, keypoints=[])
+            if render_cache is not None:
+                render_cache[i] = (out["image"].astype(np.float32), smiles)
         else:
             import cv2
 
@@ -295,6 +308,9 @@ def train_loop(
 
     ds = TrainDataset(cfg, list(train_samples), tokenizers, split="train")
     workers = cfg.train.num_workers if num_workers is None else num_workers
+    item_cache_path = os.path.join(cfg.train.save_path, "item_cache.pkl")
+    if workers == 0 and ds._item_cacheable and ds.load_item_cache(item_cache_path):
+        print_rank_0(f"item cache loaded: {len(ds._item_cache)} prebuilt items")
     loader = DataLoader(
         ds, batch_size=cfg.train.batch_size, shuffle=True,
         num_workers=workers, seed=cfg.train.seed,
@@ -359,19 +375,43 @@ def train_loop(
                 return
             pass_i += 1
 
+    dispatch_k = max(cfg.train.dispatch_steps, 1)
+
+    def _dispatch_units(epoch: int):
+        """Group consecutive batches into (stacked_group, k) dispatch units.
+
+        The collate is static-shape, so stacking K batches gives one
+        (K, batch, ...) pytree that a single jitted lax.scan consumes — one
+        tunnel dispatch per K optimizer updates.  A trailing partial group
+        falls back to single-step dispatches so epoch boundaries stay
+        exact."""
+        buf: list = []
+        for b in _epoch_batches(epoch):
+            b.pop("smiles", None)
+            b["refs"].pop("num_atoms", None)
+            if dispatch_k == 1:
+                yield b, 1
+                continue
+            buf.append(b)
+            if len(buf) == dispatch_k:
+                yield jax.tree_util.tree_map(
+                    lambda *xs: np.stack(xs), *buf
+                ), dispatch_k
+                buf = []
+        for b in buf:
+            yield b, 1
+
+    compiled_multi = None
     for epoch in range(start_epoch, cfg.train.epochs):
         loader.set_epoch(epoch)
         loss_meter = LossMeter()
         batch_time = AverageMeter()
         data_time = AverageMeter()
         t_prev = time.time()
-        for bidx, batch in enumerate(_epoch_batches(epoch)):
+        bidx = -1
+        for unit, unit_k in _dispatch_units(epoch):
+            bidx += unit_k
             data_time.update(time.time() - t_prev)
-            batch.pop("smiles", None)
-            batch["refs"].pop("num_atoms", None)
-            dev_batch = shard_batch(mesh, batch)
-            if compiled is None:
-                compiled = jit_train_step(model, criterion, mesh, dev_batch)
             if profile_steps and global_step == 1:
                 jax.profiler.start_trace(os.path.join(cfg.train.save_path, "profile"))
             # fresh dropout key per step — required for correct dropout AND
@@ -380,15 +420,26 @@ def train_loop(
             # its dispatch memoization probes pathologically on repeated
             # identical operands)
             step_rng = jax.random.fold_in(rng, global_step)
-            state, metrics = compiled(state, dev_batch, step_rng)
-            # sync EVERY step: the remote runtime's completion polling backs
-            # off when results are not promptly awaited — measured 9s/step
-            # with an immediate per-step sync vs 19-40s/step with deferred
-            # syncs (lag-1 or every-25), with the tunnel's polling thread
-            # burning the host core in the deferred case.  The lost
+            if unit_k > 1:
+                dev_group = shard_batch_group(mesh, unit)
+                if compiled_multi is None:
+                    compiled_multi = jit_multi_train_step(
+                        model, criterion, mesh, dev_group
+                    )
+                state, metrics = compiled_multi(state, dev_group, step_rng)
+            else:
+                dev_batch = shard_batch(mesh, unit)
+                if compiled is None:
+                    compiled = jit_train_step(model, criterion, mesh, dev_batch)
+                state, metrics = compiled(state, dev_batch, step_rng)
+            # sync EVERY dispatch: the remote runtime's completion polling
+            # backs off when results are not promptly awaited — measured
+            # 9s/step with an immediate per-step sync vs 19-40s/step with
+            # deferred syncs (lag-1 or every-25), with the tunnel's polling
+            # thread burning the host core in the deferred case.  The lost
             # host/device overlap (~1-2s of device time) is far cheaper.
             jax.block_until_ready(metrics["loss"])
-            global_step += 1
+            global_step += unit_k
             # free jax-array reference cycles (device buffers!) promptly:
             # a young-gen sweep every step catches just-created cycles for
             # microseconds, and a full sweep at print cadence bounds the
@@ -397,12 +448,13 @@ def train_loop(
             import gc
 
             gc.collect(0)
-            if bidx % print_freq == 0:
+            if bidx % print_freq < unit_k:
                 gc.collect()
-            if profile_steps and global_step == 1 + profile_steps:
+            if profile_steps and global_step >= 1 + profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
-            if bidx % print_freq == 0 or bidx == steps_per_epoch - 1:
+                profile_steps = 0
+            if bidx % print_freq < unit_k or bidx >= steps_per_epoch - 1:
                 host = {k: float(v) for k, v in metrics.items()}
                 loss_meter.update(host.pop("loss"), host, n=cfg.train.batch_size)
                 pct = (bidx + 1) / steps_per_epoch
@@ -435,9 +487,11 @@ def train_loop(
                 eval_engine = InferenceEngine(
                     cfg, tokenizers, model, state.params
                 )
+                eval_render_cache: Dict[int, Any] = {}
             scores = evaluate_model(
                 cfg, model, state.params, tokenizers, valid_samples,
                 num_workers=max(workers, 1), engine=eval_engine,
+                render_cache=eval_render_cache,
             )
             print_rank_0(f"epoch {epoch} eval: {scores}")
         with open(metrics_path, "a") as f:
@@ -457,4 +511,15 @@ def train_loop(
                 + "\n"
             )
         ckpt.save(cfg, state, epoch, score=scores.get("canon_smiles"))
+        if (
+            workers == 0
+            and ds.item_cache_complete()
+            and not os.path.exists(item_cache_path)
+        ):
+            t0 = time.time()
+            if ds.save_item_cache(item_cache_path):
+                print_rank_0(
+                    f"item cache saved ({len(ds._item_cache)} items, "
+                    f"{time.time() - t0:.1f}s)"
+                )
     return state

@@ -34,13 +34,24 @@ def make_batch_shardings(mesh: Mesh, batch_tree) -> Any:
     )
 
 
+def _as_model_images(images):
+    """uint8 wire format -> ImageNet-normalized float32 (fused into the
+    first conv by XLA); float32 batches pass through (already normalized
+    on host).  The dtype check is static at trace time."""
+    if images.dtype == jnp.uint8:
+        from molnextr_tpu.data.transforms import device_normalize
+
+        return device_normalize(images)
+    return images
+
+
 def train_step_fn(model, criterion: Criterion):
     """Returns step(state, batch, rng) -> (state, metrics)."""
 
     def loss_fn(params, batch, dropout_rng):
         outputs = model.apply(
             params,
-            batch["images"],
+            _as_model_images(batch["images"]),
             batch["refs"],
             deterministic=False,
             rngs={"dropout": dropout_rng},
@@ -65,7 +76,8 @@ def eval_step_fn(model, criterion: Criterion):
 
     def step(params, batch) -> Dict[str, Any]:
         outputs = model.apply(
-            params, batch["images"], batch["refs"], deterministic=True
+            params, _as_model_images(batch["images"]), batch["refs"],
+            deterministic=True,
         )
         total, losses = criterion(outputs, batch["refs"])
         return {"loss": total, **losses}
@@ -83,4 +95,48 @@ def jit_train_step(model, criterion: Criterion, mesh: Mesh, sample_batch):
         in_shardings=(None, batch_sh, repl),
         out_shardings=(None, repl),
         donate_argnums=(0,),
+    )
+
+
+def multi_train_step_fn(model, criterion: Criterion):
+    """K optimizer updates per dispatch via ``lax.scan`` over stacked batches.
+
+    On this repo's remote-TPU tunnel each dispatch costs seconds of
+    runtime/polling latency while the actual swin_medium step computes in
+    ~0.3s — one dispatch per K steps amortizes that overhead K-fold (the
+    same idiom as the reference's DataLoader prefetch hiding host latency,
+    `main.py:329-337`, but applied to the dispatch boundary).  Metrics are
+    averaged over the K sub-steps.  The per-sub-step dropout key folds the
+    incrementing ``state.step``, so keys stay distinct (identical-operand
+    re-dispatch is also what the remote runtime punishes — see
+    train/loop.py sync notes).
+    """
+    step = train_step_fn(model, criterion)
+
+    def multi(state: TrainState, batches, rng):
+        def body(s, batch):
+            s, m = step(s, batch, rng)
+            return s, m
+
+        state, metrics = jax.lax.scan(body, state, batches)
+        return state, jax.tree_util.tree_map(
+            lambda x: x.mean(axis=0), metrics
+        )
+
+    return multi
+
+
+def jit_multi_train_step(model, criterion: Criterion, mesh: Mesh, sample_group):
+    """Compile the K-step dispatch; ``sample_group`` leaves carry a leading
+    (K, ...) axis and shard batch-dim over the mesh ``data`` axis."""
+    multi = multi_train_step_fn(model, criterion)
+    repl = NamedSharding(mesh, P())
+    group_sh = jax.tree_util.tree_map(
+        lambda _: NamedSharding(mesh, P(None, "data")), sample_group
+    )
+    return jax.jit(
+        multi,
+        in_shardings=(None, group_sh, repl),
+        out_shardings=(None, repl),
+        donate_argnums=(0, 1),
     )

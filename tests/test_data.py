@@ -101,8 +101,52 @@ class TestDatasetLoader:
         for batch in dl:
             shapes.add(batch["refs"]["chartok_coords"].shape)
             assert batch["refs"]["edges"].shape == (4, 8, 8)
-            assert batch["images"].dtype == np.float32
+            # training wire format: raw uint8, normalized on-device
+            assert batch["images"].dtype == np.uint8
         assert len(shapes) == 1  # static across batches
+
+    def test_eval_split_images_stay_normalized_float32(self):
+        cfg = tiny_test_config()
+        ds = TrainDataset(
+            cfg, [Sample("CCO")], get_tokenizer(cfg.data), split="valid",
+            dynamic=True,
+        )
+        # valid split is not dynamic (no render) — go through the transform
+        # directly, as evaluate_model does
+        img = np.full((64, 64, 3), 255, np.uint8)
+        out = ds.transform(image=img, keypoints=[])
+        assert out["image"].dtype == np.float32
+
+    def test_item_cache_roundtrip(self, tmp_path):
+        import dataclasses
+
+        cfg = tiny_test_config()
+        cfg.data = dataclasses.replace(
+            cfg.data, render_cache=True, augment=False, mol_augment=False,
+            default_style=True, mask_ratio=0.0,
+        )
+        smiles = ["CCO", "c1ccccc1", "CC(=O)O"]
+        ds = TrainDataset(cfg, [Sample(s) for s in smiles], get_tokenizer(cfg.data))
+        assert ds._item_cacheable
+        items = [ds[i] for i in range(len(ds))]
+        assert ds.item_cache_complete()
+        path = str(tmp_path / "item_cache.pkl")
+        assert ds.save_item_cache(path)
+
+        ds2 = TrainDataset(cfg, [Sample(s) for s in smiles], get_tokenizer(cfg.data))
+        assert ds2.load_item_cache(path)
+        for i, it in enumerate(items):
+            got = ds2[i]
+            np.testing.assert_array_equal(got["image"], it["image"])
+            np.testing.assert_array_equal(
+                got["chartok_coords"], it["chartok_coords"]
+            )
+
+        # fingerprint mismatch (different corpus) must refuse the cache
+        ds3 = TrainDataset(
+            cfg, [Sample(s) for s in smiles[:2]], get_tokenizer(cfg.data)
+        )
+        assert not ds3.load_item_cache(path)
 
     def test_worker_pool_matches_inline_count(self):
         random.seed(2)

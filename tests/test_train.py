@@ -127,6 +127,105 @@ class TestShardedTrainStep:
         # same batch repeatedly: loss must drop
         assert losses[-1] < losses[0]
 
+    def test_multi_step_dispatch_matches_single_steps(self):
+        """One K-step scan dispatch must apply the same K updates as K
+        single dispatches (dropout off -> bitwise-comparable params)."""
+        import dataclasses
+
+        from molnextr_tpu.parallel import shard_batch_group
+        from molnextr_tpu.train.step import jit_multi_train_step
+
+        cfg = tiny_test_config()
+        cfg.decoder = dataclasses.replace(
+            cfg.decoder, attn_dropout=0.0, hidden_dropout=0.0
+        )
+        cfg.encoder = dataclasses.replace(cfg.encoder, drop_path_rate=0.0)
+        n = min(2, len(jax.devices()))
+        mesh = make_mesh((n,), ("data",), jax.devices()[:n])
+        tokenizers = get_tokenizer(cfg.data)
+        model = MolNexTRModel(cfg, {f: len(t) for f, t in tokenizers.items()})
+        crit = Criterion(cfg.data.formats)
+        b1 = _dummy_batch(cfg, tokenizers, batch=2 * n)
+        rng2 = np.random.default_rng(5)
+        b2 = jax.tree_util.tree_map(
+            lambda x: x
+            if x.dtype != np.float32
+            else x + rng2.standard_normal(x.shape).astype(np.float32) * 0.01,
+            b1,
+        )
+
+        def fresh_state():
+            return create_train_state(
+                cfg, model, jax.random.PRNGKey(0), total_steps=50, sample_batch=b1
+            )
+
+        base_rng = jax.random.PRNGKey(3)
+        # K single dispatches
+        s_single = fresh_state()
+        step = jit_train_step(model, crit, mesh, shard_batch(mesh, b1))
+        losses_single = []
+        for b in (b1, b2):
+            s_single, m = step(s_single, shard_batch(mesh, b), base_rng)
+            losses_single.append(float(m["loss"]))
+        # one K=2 dispatch
+        group = jax.tree_util.tree_map(lambda *xs: np.stack(xs), b1, b2)
+        dev_group = shard_batch_group(mesh, group)
+        multi = jit_multi_train_step(model, crit, mesh, dev_group)
+        s_multi, m_multi = multi(fresh_state(), dev_group, base_rng)
+        assert int(s_multi.step) == int(s_single.step) == 2
+        np.testing.assert_allclose(
+            float(m_multi["loss"]), np.mean(losses_single), rtol=1e-5
+        )
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, rtol=2e-4
+            ),
+            s_multi.params,
+            s_single.params,
+        )
+
+    def test_uint8_wire_matches_host_normalized(self):
+        """uint8 images + on-device normalize must equal the float32
+        host-normalized path (the training wire format)."""
+        import dataclasses
+
+        from molnextr_tpu.data.transforms import (
+            IMAGENET_MEAN, IMAGENET_STD,
+        )
+
+        cfg = tiny_test_config()
+        cfg.decoder = dataclasses.replace(
+            cfg.decoder, attn_dropout=0.0, hidden_dropout=0.0
+        )
+        cfg.encoder = dataclasses.replace(cfg.encoder, drop_path_rate=0.0)
+        n = min(2, len(jax.devices()))
+        mesh = make_mesh((n,), ("data",), jax.devices()[:n])
+        tokenizers = get_tokenizer(cfg.data)
+        model = MolNexTRModel(cfg, {f: len(t) for f, t in tokenizers.items()})
+        crit = Criterion(cfg.data.formats)
+        batch = _dummy_batch(cfg, tokenizers, batch=2 * n)
+        rng = np.random.default_rng(7)
+        raw = rng.integers(
+            0, 256, size=batch["images"].shape, dtype=np.uint8
+        )
+        b_u8 = dict(batch, images=raw)
+        b_f32 = dict(
+            batch,
+            images=((raw.astype(np.float32) / 255.0) - IMAGENET_MEAN)
+            / IMAGENET_STD,
+        )
+
+        def run(b):
+            state = create_train_state(
+                cfg, model, jax.random.PRNGKey(0), total_steps=50,
+                sample_batch=b,
+            )
+            step = jit_train_step(model, crit, mesh, shard_batch(mesh, b))
+            _, m = step(state, shard_batch(mesh, b), jax.random.PRNGKey(1))
+            return float(m["loss"])
+
+        np.testing.assert_allclose(run(b_u8), run(b_f32), rtol=1e-5)
+
     def test_sharded_matches_single_device(self):
         """Data-parallel gradient math must equal single-device math."""
         cfg = tiny_test_config()
