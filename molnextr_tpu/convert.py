@@ -166,6 +166,28 @@ def convert_checkpoint(
             head["coords1"] = _linear(dec_sd, "decoder.edges.coords_mlp.0")
             head["coords2"] = _linear(dec_sd, "decoder.edges.coords_mlp.2")
         params["edges_head"] = head
+    if cfg.train.aux_heatmap_weight > 0:
+        # the reference has no auxiliary heatmap head — initialize it fresh
+        # so the converted tree is a drop-in for model.init under the same
+        # config (it is a training-only head; inference never reads it)
+        import jax
+        import jax.numpy as jnp
+
+        from molnextr_tpu.models.heads import AtomHeatmapHead
+
+        e = cfg.encoder
+        if e.name.startswith("swin"):
+            dims = [e.embed_dim * (2 ** i) for i in range(len(e.depths))]
+        else:
+            dims = list(e.convnext_dims)
+        fine = dims[1] if len(dims) > 1 else dims[0]
+        coarse = dims[-1]
+        v = AtomHeatmapHead().init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 8, 8, fine), jnp.float32),
+            jnp.zeros((1, 4, 4, coarse), jnp.float32),
+        )
+        params["heatmap_head"] = v["params"]
     return {"params": params}
 
 
