@@ -152,6 +152,10 @@ class DecodeConfig:
     compute_confidence: bool = False
     keep_main_molecule: bool = False
     molblock: bool = False
+    # decode-loop steps per lax.while_loop iteration: >1 amortizes the
+    # fixed per-iteration cost (carry round-trip, cond evaluation) at the
+    # price of a coarser early-exit check
+    unroll: int = 1
 
 
 @dataclass

@@ -157,7 +157,19 @@ def greedy_decode(
             finished=s.finished | newly_finished,
         )
 
+    def body_k(s: GreedyState) -> GreedyState:
+        for _ in range(unroll):
+            s = body(s)
+        return s
+
     if phased and max_len > 128:
+        if unroll > 1:
+            # phase limits are multiples of 128 (plus the final max_len);
+            # every limit must land on an unroll boundary or an unrolled
+            # iteration would run past the current phase's cache length
+            assert 128 % unroll == 0 and max_len % unroll == 0, (
+                "phased decode needs unroll dividing 128 and max_len"
+            )
         # phased cache growth: run the loop with a 128-length self-attention
         # cache first, then re-pad to 256/384/... as decoding advances.  The
         # per-step attention read scales with the CURRENT phase's cache
@@ -191,20 +203,13 @@ def greedy_decode(
             def phase_cond(st, limit=limit):
                 return (st.step < limit) & (~jnp.all(st.finished))
 
-            s = jax.lax.while_loop(phase_cond, body, s)
+            s = jax.lax.while_loop(phase_cond, body_k, s)
         final = s
-    elif unroll > 1:
+    else:
         # several steps per loop iteration: fewer carry round-trips; the
         # early-exit check coarsens to every `unroll` tokens (finished lanes
         # stay frozen by masking, so extra sub-steps are no-ops)
-        def body_unrolled(s: GreedyState) -> GreedyState:
-            for _ in range(unroll):
-                s = body(s)
-            return s
-
-        final = jax.lax.while_loop(cond, body_unrolled, state)
-    else:
-        final = jax.lax.while_loop(cond, body, state)
+        final = jax.lax.while_loop(cond, body_k, state)
 
     # average-of-token-scores confidence (`greedy_search.py:109`): mean over
     # generated tokens up to and including EOS.  Finished lanes only ever

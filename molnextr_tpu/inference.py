@@ -89,6 +89,7 @@ class InferenceEngine:
             min_len=self.cfg.decode.min_length,
             use_constraint=self._use_constraint,
             phased=True,  # grow the cache 128->...->T: ~15% faster decode
+            unroll=self.cfg.decode.unroll,
         )
 
     def _edges(self, params, hiddens, indices):

@@ -108,6 +108,29 @@ class MHA(nn.Module):
     def project_q(self, x):
         return self._split(self.q_proj(x))
 
+    def project_qkv(self, x):
+        """q/k/v in ONE matmul over the concatenated (D, 3D) kernel.
+
+        Decode-step projections are (B, 1, D) x (D, D) — latency-bound MXU
+        dispatches where the fixed per-op cost dominates; one fused matmul
+        amortizes it 3x.  The kernel/bias concats are loop-invariant, so
+        XLA hoists them out of the decode ``while_loop``.  Bitwise-equal to
+        the three separate Dense calls (same contraction, same dtype)."""
+        pq = self.q_proj.variables["params"]
+        pk = self.k_proj.variables["params"]
+        pv = self.v_proj.variables["params"]
+        w = jnp.concatenate(
+            [pq["kernel"], pk["kernel"], pv["kernel"]], axis=1
+        ).astype(self.dtype)
+        b = jnp.concatenate([pq["bias"], pk["bias"], pv["bias"]]).astype(self.dtype)
+        y = x.astype(self.dtype) @ w + b
+        h = self.hidden
+        return (
+            self._split(y[..., :h]),
+            self._split(y[..., h : 2 * h]),
+            self._split(y[..., 2 * h :]),
+        )
+
     def attend(self, q, k, v, mask=None, deterministic=True):
         hd = self.hidden // self.num_heads
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k) / jnp.sqrt(hd).astype(q.dtype)
@@ -213,8 +236,7 @@ class DecoderLayer(nn.Module):
         mem_k, mem_v = bcast["mem_k"], bcast["mem_v"]
 
         xn = self.ln1(x)
-        q = self.self_attn.project_q(xn)
-        k_new, v_new = self.self_attn.project_kv(xn)
+        q, k_new, v_new = self.self_attn.project_qkv(xn)
         self_k = jax.lax.dynamic_update_slice(
             self_k, k_new[None], (layer_idx, 0, 0, pos, 0)
         )

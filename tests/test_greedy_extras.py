@@ -60,6 +60,69 @@ def setup():
     return cfg, tok, decode
 
 
+class TestUnroll:
+    def test_unroll_matches_single_step(self, setup):
+        """unroll=2/4 must produce the identical argmax decode (finished
+        lanes stay frozen, so the coarser early-exit changes nothing)."""
+        cfg, tok, decode = setup
+        base = decode()
+        for u in (2, 4):
+            seq, avg, scores, hiddens = decode(unroll=u)
+            np.testing.assert_array_equal(np.asarray(seq), np.asarray(base[0]))
+            np.testing.assert_allclose(
+                np.asarray(avg), np.asarray(base[1]), rtol=1e-6
+            )
+
+    def test_unroll_with_phased(self, setup):
+        """phased cache growth composes with unroll (tiny max_len falls
+        through to the plain loop; equality must still hold)."""
+        cfg, tok, decode = setup
+        base = decode(phased=True)
+        got = decode(phased=True, unroll=2)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(base[0]))
+
+    def test_unroll_with_phased_growth(self):
+        """Real >128 phased path: a synthetic step_fn whose cache is the
+        (B, H, T, hd)-shaped self cache; unrolled phases must match."""
+        b, v, d, max_len = 2, 12, 8, 256
+
+        def step_fn(tokens, pos, cache):
+            # logits depend on token + pos so the argmax sequence is
+            # nontrivial; EOS only very late (lane 1 finishes at pos 200)
+            base = jnp.arange(v, dtype=jnp.float32)[None] * 0.1
+            tok_term = (tokens[:, None] * 17 + pos * 13) % 7
+            logits = base + (jnp.arange(v)[None] == tok_term).astype(
+                jnp.float32
+            ) * 5.0
+            fin = (pos >= 200) & (jnp.arange(b) == 1)[..., None].squeeze(-1)
+            logits = jnp.where(
+                fin[:, None] & (jnp.arange(v)[None] == EOS_ID), 50.0, logits
+            )
+            hidden = jnp.zeros((b, d), jnp.float32)
+            return logits, hidden, cache
+
+        def init_cache_fn(memory):
+            return {
+                "self_k": jnp.zeros((1, b, 1, 256, 4)),
+                "self_v": jnp.zeros((1, b, 1, 256, 4)),
+            }
+
+        memory = jnp.zeros((b, 4, d), jnp.float32)
+        tc = np.zeros((v,), np.int32)
+        cm = np.zeros((1, v), bool)
+        out = []
+        for u in (1, 4):
+            seq, avg, _, _ = greedy_decode(
+                step_fn, init_cache_fn, memory, jnp.asarray(tc),
+                jnp.asarray(cm), max_len, d, use_constraint=False,
+                phased=True, unroll=u,
+            )
+            out.append(np.asarray(seq))
+        np.testing.assert_array_equal(out[0], out[1])
+        # lane 1 must actually have finished early via EOS
+        assert (out[0][1] == EOS_ID).any()
+
+
 class TestPartialPrediction:
     def test_masked_coords_predicted_symbols_forced(self, setup):
         """The VERDICT done-criterion: gold symbols fixed, coords filled in."""
