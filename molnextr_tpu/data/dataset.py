@@ -293,7 +293,7 @@ class TrainDataset:
                 coords01 if coords01 is not None else np.zeros((0, 2), np.float32)
             )
         if self.with_edges and edges is not None:
-            item["edges"] = np.asarray(edges, np.int64)
+            item["edges"] = np.asarray(edges, np.int8)
         return item
 
 
@@ -353,11 +353,12 @@ def pad_batch(
                 coords[i, :kk] = c[:kk]
         refs["coords"] = coords
     if all("atom_grid" in x for x in items):
-        refs["atom_grid"] = np.stack(
-            [x["atom_grid"] for x in items]
-        ).astype(np.int32)
+        # int8 wire format (class ids are tiny); promoted on-device
+        refs["atom_grid"] = np.stack([x["atom_grid"] for x in items])
     if "edges" in formats:
-        edges = np.full((b, max_atoms, max_atoms), EDGE_IGNORE, np.int32)
+        # int8: classes 0..6 and EDGE_IGNORE=-100 all fit; the (B, K, K)
+        # matrix is the second-largest batch leaf after the images
+        edges = np.full((b, max_atoms, max_atoms), EDGE_IGNORE, np.int8)
         for i, x in enumerate(items):
             e = x.get("edges")
             if e is None:

@@ -45,18 +45,28 @@ def _as_model_images(images):
     return images
 
 
+def _as_model_refs(refs):
+    """Promote int8 wire-format label leaves (edges, atom_grid) back to
+    int32 on device — they ride the tunnel at 1/4 width."""
+    return {
+        k: v.astype(jnp.int32) if v.dtype == jnp.int8 else v
+        for k, v in refs.items()
+    }
+
+
 def train_step_fn(model, criterion: Criterion):
     """Returns step(state, batch, rng) -> (state, metrics)."""
 
     def loss_fn(params, batch, dropout_rng):
+        refs = _as_model_refs(batch["refs"])
         outputs = model.apply(
             params,
             _as_model_images(batch["images"]),
-            batch["refs"],
+            refs,
             deterministic=False,
             rngs={"dropout": dropout_rng},
         )
-        total, losses = criterion(outputs, batch["refs"])
+        total, losses = criterion(outputs, refs)
         return total, losses
 
     def step(state: TrainState, batch, rng) -> Tuple[TrainState, Dict[str, Any]]:
@@ -75,11 +85,12 @@ def eval_step_fn(model, criterion: Criterion):
     """Teacher-forced validation loss (no param update)."""
 
     def step(params, batch) -> Dict[str, Any]:
+        refs = _as_model_refs(batch["refs"])
         outputs = model.apply(
-            params, _as_model_images(batch["images"]), batch["refs"],
+            params, _as_model_images(batch["images"]), refs,
             deterministic=True,
         )
-        total, losses = criterion(outputs, batch["refs"])
+        total, losses = criterion(outputs, refs)
         return {"loss": total, **losses}
 
     return step
