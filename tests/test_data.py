@@ -103,6 +103,9 @@ class TestDatasetLoader:
             assert batch["refs"]["edges"].shape == (4, 8, 8)
             # training wire format: raw uint8, normalized on-device
             assert batch["images"].dtype == np.uint8
+            # label wire format: int8 (promoted to int32 on device by
+            # train.step._as_model_refs; EDGE_IGNORE=-100 fits in int8)
+            assert batch["refs"]["edges"].dtype == np.int8
         assert len(shapes) == 1  # static across batches
 
     def test_eval_split_images_stay_normalized_float32(self):

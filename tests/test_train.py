@@ -226,6 +226,33 @@ class TestShardedTrainStep:
 
         np.testing.assert_allclose(run(b_u8), run(b_f32), rtol=1e-5)
 
+    def test_int8_label_wire_matches_int32(self):
+        """int8 edges on the wire (EDGE_IGNORE=-100 fits) must produce the
+        same loss as int32 labels — step._as_model_refs promotes on device."""
+        cfg = tiny_test_config()
+        n = min(2, len(jax.devices()))
+        mesh = make_mesh((n,), ("data",), jax.devices()[:n])
+        tokenizers = get_tokenizer(cfg.data)
+        model = MolNexTRModel(cfg, {f: len(t) for f, t in tokenizers.items()})
+        crit = Criterion(cfg.data.formats)
+        batch = _dummy_batch(cfg, tokenizers, batch=2 * n)
+        batch["refs"]["edges"][:, -1, :] = -100  # ignore rows survive int8
+        b_i8 = dict(
+            batch,
+            refs=dict(batch["refs"], edges=batch["refs"]["edges"].astype(np.int8)),
+        )
+
+        def run(b):
+            state = create_train_state(
+                cfg, model, jax.random.PRNGKey(0), total_steps=50,
+                sample_batch=b,
+            )
+            step = jit_train_step(model, crit, mesh, shard_batch(mesh, b))
+            _, m = step(state, shard_batch(mesh, b), jax.random.PRNGKey(1))
+            return float(m["loss"])
+
+        np.testing.assert_allclose(run(b_i8), run(batch), rtol=1e-6)
+
     def test_sharded_matches_single_device(self):
         """Data-parallel gradient math must equal single-device math."""
         cfg = tiny_test_config()
