@@ -323,6 +323,11 @@ def pad_batch(
         return {}
     b = len(items)
     img = np.stack([x["image"] for x in items])
+    if img.dtype == np.uint8 and img.ndim == 4 and img.shape[-1] == 3:
+        # train wire rides one channel: ToGray(p=1) makes all three equal
+        # (`transforms.py` get_transforms), and device_normalize broadcasts
+        # (B,H,W,1) back to 3 channels on the TPU — 3x less tunnel traffic
+        img = np.ascontiguousarray(img[..., :1])
     refs: Dict[str, Any] = {}
     primary = None
     for fmt in formats:

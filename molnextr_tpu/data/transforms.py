@@ -507,6 +507,11 @@ def device_normalize(images):
     bandwidth + host collate memory than normalized float32) and folds this
     into the jitted step; XLA fuses it into the first conv.  Matches
     :class:`Normalize` bit-for-bit in float32.
+
+    Single-channel wire batches (B, H, W, 1) — the grayscale train wire,
+    see ``pad_batch`` — broadcast against the per-channel mean/std to the
+    (B, H, W, 3) the encoder expects; this reproduces ToGray's
+    channel-replication exactly.
     """
     import jax.numpy as jnp
 

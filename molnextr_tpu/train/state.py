@@ -106,15 +106,24 @@ def create_train_state(
     cfg: Config, model, rng: jax.Array, total_steps: int, sample_batch: Dict[str, Any]
 ) -> TrainState:
     """Initialize parameters from a sample batch and wrap them in a state."""
+    from molnextr_tpu.train.wire import as_model_images, as_model_refs
+
     params_rng, dropout_rng = jax.random.split(rng)
+
+    # decode the wire format before tracing init so parameter shapes match
+    # what the step (which applies the same decoding) will use — e.g. the
+    # (B,H,W,1) grayscale wire must not create a 1-channel patch embed
+    def init(images, refs):
+        return model.init(
+            {"params": params_rng, "dropout": dropout_rng},
+            as_model_images(images),
+            as_model_refs(refs),
+            deterministic=True,
+        )
+
     # jit the init: unjitted flax init dispatches op-by-op, which is very
     # slow over a remote TPU tunnel
-    params = jax.jit(model.init, static_argnames=("deterministic",))(
-        {"params": params_rng, "dropout": dropout_rng},
-        sample_batch["images"],
-        sample_batch["refs"],
-        deterministic=True,
-    )
+    params = jax.jit(init)(sample_batch["images"], sample_batch["refs"])
     tx = make_optimizer(cfg, total_steps)
     return TrainState(
         step=jnp.asarray(0, jnp.int32),

@@ -25,6 +25,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from molnextr_tpu.train.losses import Criterion
 from molnextr_tpu.train.state import TrainState
+from molnextr_tpu.train.wire import as_model_images as _as_model_images
+from molnextr_tpu.train.wire import as_model_refs as _as_model_refs
 
 
 def make_batch_shardings(mesh: Mesh, batch_tree) -> Any:
@@ -32,26 +34,6 @@ def make_batch_shardings(mesh: Mesh, batch_tree) -> Any:
     return jax.tree_util.tree_map(
         lambda _: NamedSharding(mesh, P("data")), batch_tree
     )
-
-
-def _as_model_images(images):
-    """uint8 wire format -> ImageNet-normalized float32 (fused into the
-    first conv by XLA); float32 batches pass through (already normalized
-    on host).  The dtype check is static at trace time."""
-    if images.dtype == jnp.uint8:
-        from molnextr_tpu.data.transforms import device_normalize
-
-        return device_normalize(images)
-    return images
-
-
-def _as_model_refs(refs):
-    """Promote int8 wire-format label leaves (edges, atom_grid) back to
-    int32 on device — they ride the tunnel at 1/4 width."""
-    return {
-        k: v.astype(jnp.int32) if v.dtype == jnp.int8 else v
-        for k, v in refs.items()
-    }
 
 
 def train_step_fn(model, criterion: Criterion):

@@ -101,8 +101,10 @@ class TestDatasetLoader:
         for batch in dl:
             shapes.add(batch["refs"]["chartok_coords"].shape)
             assert batch["refs"]["edges"].shape == (4, 8, 8)
-            # training wire format: raw uint8, normalized on-device
+            # training wire format: raw uint8, single grayscale channel
+            # (ToGray makes all three equal), normalized+broadcast on-device
             assert batch["images"].dtype == np.uint8
+            assert batch["images"].shape[-1] == 1
             # label wire format: int8 (promoted to int32 on device by
             # train.step._as_model_refs; EDGE_IGNORE=-100 fits in int8)
             assert batch["refs"]["edges"].dtype == np.int8

@@ -226,6 +226,40 @@ class TestShardedTrainStep:
 
         np.testing.assert_allclose(run(b_u8), run(b_f32), rtol=1e-5)
 
+    def test_grayscale_wire_matches_3channel(self):
+        """(B,H,W,1) uint8 wire + on-device broadcast-normalize must equal
+        the same image replicated to 3 channels (the ToGray guarantee)."""
+        import dataclasses
+
+        cfg = tiny_test_config()
+        cfg.decoder = dataclasses.replace(
+            cfg.decoder, attn_dropout=0.0, hidden_dropout=0.0
+        )
+        cfg.encoder = dataclasses.replace(cfg.encoder, drop_path_rate=0.0)
+        n = min(2, len(jax.devices()))
+        mesh = make_mesh((n,), ("data",), jax.devices()[:n])
+        tokenizers = get_tokenizer(cfg.data)
+        model = MolNexTRModel(cfg, {f: len(t) for f, t in tokenizers.items()})
+        crit = Criterion(cfg.data.formats)
+        batch = _dummy_batch(cfg, tokenizers, batch=2 * n)
+        rng = np.random.default_rng(11)
+        gray = rng.integers(
+            0, 256, size=batch["images"].shape[:-1] + (1,), dtype=np.uint8
+        )
+        b_1ch = dict(batch, images=gray)
+        b_3ch = dict(batch, images=np.repeat(gray, 3, axis=-1))
+
+        def run(b):
+            state = create_train_state(
+                cfg, model, jax.random.PRNGKey(0), total_steps=50,
+                sample_batch=b,
+            )
+            step = jit_train_step(model, crit, mesh, shard_batch(mesh, b))
+            _, m = step(state, shard_batch(mesh, b), jax.random.PRNGKey(1))
+            return float(m["loss"])
+
+        np.testing.assert_allclose(run(b_1ch), run(b_3ch), rtol=1e-5)
+
     def test_int8_label_wire_matches_int32(self):
         """int8 edges on the wire (EDGE_IGNORE=-100 fits) must produce the
         same loss as int32 labels — step._as_model_refs promotes on device."""
