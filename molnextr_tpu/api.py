@@ -69,7 +69,12 @@ class MolNexTR:
         if params is None:
             params = self._init_params()
         self.params = params
-        self.transform = get_transforms(cfg.data.input_size, augment=False, rotate=False)
+        # normalize=False keeps transformed images uint8; the engine
+        # normalizes on device (train/wire.py), so prediction batches ship
+        # one grayscale channel instead of float32 RGB
+        self.transform = get_transforms(
+            cfg.data.input_size, augment=False, rotate=False, normalize=False
+        )
         self.engine = InferenceEngine(cfg, self.tokenizers, self.model, params)
 
     def _init_params(self):
@@ -108,7 +113,10 @@ class MolNexTR:
             chunk = input_images[start : start + batch_size]
             batch = np.stack(
                 [self.transform(image=im)["image"] for im in chunk], axis=0
-            ).astype(np.float32)
+            )
+            if batch.dtype == np.uint8 and batch.shape[-1] == 3:
+                # ToGray ran in the transform: all channels equal
+                batch = np.ascontiguousarray(batch[..., :1])
             predictions += self.engine.predict_images(
                 batch, compute_confidence=return_confidence
             )

@@ -65,15 +65,16 @@ class TrainDataset:
         self.split = split
         self.dynamic = dynamic and split == "train"
         augment = cfg.data.augment and split == "train"
-        # training ships uint8 over the device tunnel (the jitted step
-        # normalizes on-device, transforms.device_normalize): 4x less
-        # transfer + collate memory than host-normalized float32
+        # every split ships uint8 over the device tunnel (the jitted step
+        # and the inference engine normalize on-device,
+        # transforms.device_normalize): 4x less transfer + collate memory
+        # than host-normalized float32, 12x with the grayscale channel strip
         self.transform: Compose = get_transforms(
             cfg.data.input_size,
             augment=augment,
             rotate=augment and cfg.data.rotate,
             dataset=cfg.data.dataset_name,
-            normalize=split != "train",
+            normalize=False,
         )
         self.formats = [f for f in cfg.data.formats if f != "edges"]
         self.with_edges = "edges" in cfg.data.formats

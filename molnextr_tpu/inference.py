@@ -53,8 +53,15 @@ class InferenceEngine:
 
     # -- device functions -------------------------------------------------
     def _decode(self, params, images):
+        from molnextr_tpu.train.wire import as_model_images
+
         model = self.model
-        memory = model.apply(params, images, method=MolNexTRModel.encode)
+        # accept the compact wire formats (uint8, single- or 3-channel) as
+        # well as host-normalized float32 — decoded on device, so eval
+        # batches ride the tunnel at 1/12 the float32-RGB width
+        memory = model.apply(
+            params, as_model_images(images), method=MolNexTRModel.encode
+        )
 
         def step_fn(tokens, pos, cache):
             return model.apply(

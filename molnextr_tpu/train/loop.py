@@ -87,6 +87,14 @@ def _gather_shards(
     return out, idx_g[keep][order] - 1
 
 
+def _wire_image(image: np.ndarray) -> np.ndarray:
+    """Compact eval wire: uint8 grayscale single channel (ToGray guarantees
+    channel equality); float32 images pass through for compatibility."""
+    if image.dtype == np.uint8 and image.ndim == 3 and image.shape[-1] == 3:
+        return np.ascontiguousarray(image[..., :1])
+    return image if image.dtype == np.uint8 else image.astype(np.float32)
+
+
 def evaluate_model(
     cfg: Config,
     model: MolNexTRModel,
@@ -177,7 +185,7 @@ def evaluate_model(
             golds_all[i] = smiles  # canonical form actually rendered
             out = ds.transform(image=img, keypoints=[])
             if render_cache is not None:
-                render_cache[i] = (out["image"].astype(np.float32), smiles)
+                render_cache[i] = (_wire_image(out["image"]), smiles)
         else:
             import cv2
 
@@ -186,7 +194,7 @@ def evaluate_model(
                 continue
             img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
             out = ds.transform(image=img, keypoints=[])
-        batch_imgs.append(out["image"].astype(np.float32))
+        batch_imgs.append(_wire_image(out["image"]))
         batch_idx.append(i)
         if len(batch_imgs) == bs:
             flush()

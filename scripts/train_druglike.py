@@ -126,7 +126,7 @@ def build_config(args):
     return cfg
 
 
-def main():
+def make_parser():
     p = argparse.ArgumentParser()
     p.add_argument("--corpus", type=int, default=60000)
     p.add_argument("--valid", type=int, default=384)
@@ -156,7 +156,11 @@ def main():
         "--dispatch", type=int, default=12,
         help="optimizer updates per device dispatch (amortizes tunnel latency)",
     )
-    args = p.parse_args()
+    return p
+
+
+def main():
+    args = make_parser().parse_args()
 
     from molnextr_tpu.data import Sample
     from molnextr_tpu.data.corpus import generate_corpus

@@ -110,17 +110,21 @@ class TestDatasetLoader:
             assert batch["refs"]["edges"].dtype == np.int8
         assert len(shapes) == 1  # static across batches
 
-    def test_eval_split_images_stay_normalized_float32(self):
+    def test_eval_split_images_ride_uint8_wire(self):
         cfg = tiny_test_config()
         ds = TrainDataset(
             cfg, [Sample("CCO")], get_tokenizer(cfg.data), split="valid",
             dynamic=True,
         )
         # valid split is not dynamic (no render) — go through the transform
-        # directly, as evaluate_model does
+        # directly, as evaluate_model does; the engine normalizes on device
         img = np.full((64, 64, 3), 255, np.uint8)
         out = ds.transform(image=img, keypoints=[])
-        assert out["image"].dtype == np.float32
+        assert out["image"].dtype == np.uint8
+        from molnextr_tpu.train.loop import _wire_image
+
+        wired = _wire_image(out["image"])
+        assert wired.dtype == np.uint8 and wired.shape[-1] == 1
 
     def test_item_cache_roundtrip(self, tmp_path):
         import dataclasses

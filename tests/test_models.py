@@ -114,6 +114,26 @@ class TestGreedyDecode:
             k = len(parsed["symbols"])
             assert len(pred["edges"]) == min(k, cfg.data.max_atoms)
 
+    def test_uint8_wire_decodes_identically(self, tiny):
+        """uint8 grayscale (B,H,W,1) engine input must decode to the same
+        sequences as the equivalent host-normalized float32 RGB batch."""
+        from molnextr_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD
+        from molnextr_tpu.inference import InferenceEngine
+
+        cfg, tokenizers, model, params, images, refs = tiny
+        engine = InferenceEngine(cfg, tokenizers, model, params)
+        rng = np.random.default_rng(3)
+        gray = rng.integers(0, 256, size=(2, 32, 32, 1), dtype=np.uint8)
+        f32 = (
+            np.repeat(gray, 3, axis=-1).astype(np.float32) / 255.0
+            - IMAGENET_MEAN
+        ) / IMAGENET_STD
+        seq_wire = np.asarray(engine._decode_jit(params, jnp.asarray(gray))[0])
+        seq_f32 = np.asarray(
+            engine._decode_jit(params, jnp.asarray(f32.astype(np.float32)))[0]
+        )
+        np.testing.assert_array_equal(seq_wire, seq_f32)
+
     def test_grammar_constraint_in_sequence(self, tiny):
         """Raw decoded ids must satisfy after-x-comes-y."""
         cfg, tokenizers, model, params, images, refs = tiny
