@@ -25,12 +25,43 @@ import numpy as np
 BASELINE_IMG_PER_SEC_PER_CHIP = 1500.0 / 8.0
 
 
+def _tpu_relay_alive() -> bool:
+    """The axon TPU rides a host relay on 127.0.0.1:8082; when the relay
+    dies, every device claim hangs forever in nanosleep (CLAUDE.md).  Probe
+    the port so a dead tunnel produces a fast, well-formed result instead
+    of a hung benchmark."""
+    import os
+    import socket
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return True  # not using the relay
+    try:
+        with socket.create_connection(("127.0.0.1", 8082), timeout=2):
+            return True
+    except OSError:
+        return False
+
+
 def main() -> None:
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--decode-len", type=int, default=480)
     args = p.parse_args()
+
+    if not _tpu_relay_alive():
+        print(
+            json.dumps(
+                {
+                    "metric": "inference_images_per_sec_per_chip",
+                    "value": 0.0,
+                    "unit": "img/s",
+                    "vs_baseline": 0.0,
+                    "error": "tpu_relay_down: port 8082 closed; see CLAUDE.md",
+                }
+            )
+        )
+        return
 
     from molnextr_tpu.config import Config
     from molnextr_tpu.decoding.greedy import greedy_decode
