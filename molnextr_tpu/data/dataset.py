@@ -90,6 +90,7 @@ class TrainDataset:
             and self.dynamic
             and not augment
             and not cfg.data.mol_augment
+            and not cfg.data.shuffle_nodes
             and cfg.data.default_style
             and cfg.data.mask_ratio == 0.0
         )
@@ -113,6 +114,11 @@ class TrainDataset:
         key += f"::{d.input_size}:{sorted(d.formats)}:{d.mask_ratio}"
         key += f":{d.continuous_coords}:{self.cfg.train.aux_heatmap_weight}"
         key += f":{self.cfg.train.aux_heatmap_stride}:{self.cfg.decoder.max_len}"
+        # every flag that changes rendered pixels or labels must be keyed,
+        # or a stale cache built under a different config would be adopted
+        # silently (round-3 advisor finding)
+        key += f":{d.include_condensed}:{d.shuffle_nodes}:{d.default_style}"
+        key += f":{d.mol_augment}:{d.augment}:{d.rotate}"
         return hashlib.sha1(key.encode()).hexdigest()
 
     def item_cache_complete(self) -> bool:

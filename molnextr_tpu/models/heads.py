@@ -75,7 +75,10 @@ def heatmap_class_of(symbol: str) -> int:
     for j, el in enumerate(HEATMAP_ELEMENTS):
         if len(el) == 2 and two == el:
             return j
-    if two in ("Cl", "Br", "Si"):  # two-letter element not in the list
+    # a two-letter element symbol NOT in the list (Na, Fe, Se, Sn, ...) is
+    # "other" — falling through to the first-letter match would alias it
+    # onto an unrelated class (Na->N, Fe->F; round-3 advisor finding)
+    if len(s) >= 2 and s[1].islower():
         return len(HEATMAP_ELEMENTS)
     for j, el in enumerate(HEATMAP_ELEMENTS):
         if len(el) == 1 and one == el:

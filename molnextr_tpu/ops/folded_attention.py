@@ -87,7 +87,7 @@ def _make_kernel(n_heads: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads",))
+@functools.partial(jax.jit, static_argnames=("n_heads", "interpret"))
 def folded_decode_attention(
     q: jnp.ndarray,
     k_full: jnp.ndarray,
@@ -95,6 +95,7 @@ def folded_decode_attention(
     pos: jnp.ndarray,
     layer: jnp.ndarray,
     n_heads: int,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """q: (B, D); k_full/v_full: (L, B, T, D); pos/layer scalars.
 
@@ -132,6 +133,7 @@ def folded_decode_attention(
         _make_kernel(n_heads),
         out_shape=jax.ShapeDtypeStruct((b, 1, d_model), q.dtype),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(pos_arr, layer_arr, q[:, None, :], k_full, v_full)
     return out[:, 0, :]
 
@@ -208,7 +210,7 @@ def _make_kernel_bb(n_heads: int, bb: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("n_heads", "bb"))
+@functools.partial(jax.jit, static_argnames=("n_heads", "bb", "interpret"))
 def folded_decode_attention_bb(
     q: jnp.ndarray,
     k_full: jnp.ndarray,
@@ -217,6 +219,7 @@ def folded_decode_attention_bb(
     layer: jnp.ndarray,
     n_heads: int,
     bb: int = 8,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Batch-blocked folded attention; q (B, D), cache (L, B, T, D)."""
     lcount, b, t, d_model = k_full.shape
@@ -251,6 +254,7 @@ def folded_decode_attention_bb(
         _make_kernel_bb(n_heads, bb),
         out_shape=jax.ShapeDtypeStruct((b, 1, d_model), q.dtype),
         grid_spec=grid_spec,
+        interpret=interpret,
     )(pos_arr, layer_arr, q[:, None, :], k_full, v_full)
     return out[:, 0, :]
 

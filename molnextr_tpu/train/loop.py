@@ -328,10 +328,16 @@ def train_loop(
         if cfg.train.train_steps_per_epoch > 0
         else len(loader)
     )
-    total_steps = max(steps_per_epoch * cfg.train.epochs, 1)
+    # The LR schedule counts OPTIMIZER UPDATES: under optax.MultiSteps the
+    # inner transform (and its cosine schedule) only advances every
+    # grad_accum_steps loader batches, so decay_steps must be divided by the
+    # accumulation factor or the cosine would run grad_accum× too slow.
+    accum = max(cfg.train.grad_accum_steps, 1)
+    total_steps = max(steps_per_epoch * cfg.train.epochs // accum, 1)
     print_rank_0(
-        f"devices={n_dev} global_batch={cfg.train.batch_size} "
-        f"steps/epoch={steps_per_epoch} total={total_steps}"
+        f"devices={n_dev} micro_batch={cfg.train.batch_size} "
+        f"global_batch={cfg.train.batch_size * accum} "
+        f"steps/epoch={steps_per_epoch} total_updates={total_steps}"
     )
 
     init_batch = _dummy_init_batch(cfg, tokenizers)
@@ -410,6 +416,7 @@ def train_loop(
             yield b, 1
 
     compiled_multi = None
+    tracing = False
     for epoch in range(start_epoch, cfg.train.epochs):
         loader.set_epoch(epoch)
         loss_meter = LossMeter()
@@ -420,8 +427,12 @@ def train_loop(
         for unit, unit_k in _dispatch_units(epoch):
             bidx += unit_k
             data_time.update(time.time() - t_prev)
-            if profile_steps and global_step == 1:
+            # latch on >= 1: with dispatch_steps>1 global_step advances
+            # 0->K per dispatch and never equals 1 exactly (r3 advisor);
+            # skipping step 0 keeps the compile out of the trace
+            if profile_steps and not tracing and global_step >= 1:
                 jax.profiler.start_trace(os.path.join(cfg.train.save_path, "profile"))
+                tracing = True
             # fresh dropout key per step — required for correct dropout AND
             # for speed: re-dispatching with an identical key array makes
             # the remote runtime's step 14x slower (measured 33.9s vs 2.4s;
@@ -458,10 +469,11 @@ def train_loop(
             gc.collect(0)
             if bidx % print_freq < unit_k:
                 gc.collect()
-            if profile_steps and global_step >= 1 + profile_steps:
+            if tracing and global_step >= 1 + profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 profile_steps = 0
+                tracing = False
             if bidx % print_freq < unit_k or bidx >= steps_per_epoch - 1:
                 host = {k: float(v) for k, v in metrics.items()}
                 loss_meter.update(host.pop("loss"), host, n=cfg.train.batch_size)

@@ -1,12 +1,22 @@
 #!/bin/bash
 # Babysitter: whenever the TPU relay is up and the druglike3 trainer is not
 # running, (re)launch it with --resume last. Survives tunnel outages.
+#
+# Round-4 fix: if the relay goes DOWN while the trainer is alive, the trainer
+# hangs forever in nanosleep (see CLAUDE.md relay-outage note) and would hold
+# the PID forever, blocking relaunch when the relay returns. After two
+# consecutive down-checks (~40s) with a live trainer, kill it so the next
+# relay-up check relaunches with --resume last.
 cd /root/repo
 N=0
+DOWN=0
 while true; do
+  PID=$(cat /tmp/druglike3.pid 2>/dev/null)
+  ALIVE=""
+  [ -n "$PID" ] && kill -0 "$PID" 2>/dev/null && ALIVE=1
   if ss -tln | grep -q ':8082 '; then
-    PID=$(cat /tmp/druglike3.pid 2>/dev/null)
-    if [ -z "$PID" ] || ! kill -0 "$PID" 2>/dev/null; then
+    DOWN=0
+    if [ -z "$ALIVE" ]; then
       N=$((N+1))
       sleep 10
       nohup python -u scripts/train_druglike.py --corpus 20000 --valid 256 \
@@ -16,6 +26,20 @@ while true; do
       echo $! > /tmp/druglike3.pid
       echo "$(date): relaunch #$N pid $(cat /tmp/druglike3.pid)" >> /tmp/relay_watch.log
       sleep 120  # give it time to claim before re-checking
+    fi
+  else
+    if [ -n "$ALIVE" ]; then
+      DOWN=$((DOWN+1))
+      if [ "$DOWN" -ge 2 ]; then
+        echo "$(date): relay down x$DOWN, killing hung trainer pid $PID" >> /tmp/relay_watch.log
+        kill "$PID" 2>/dev/null
+        sleep 5
+        kill -9 "$PID" 2>/dev/null
+        rm -f /tmp/druglike3.pid
+        DOWN=0
+      fi
+    else
+      DOWN=0
     fi
   fi
   sleep 20

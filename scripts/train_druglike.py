@@ -52,6 +52,10 @@ def build_config(args):
         # (`exps/train.sh:3-42` trains global 64 = 2x32; we keep 256 to
         # match the README's "default batch 256").  HBM fits only with
         # decoder remat + the factored edge head (both default).
+        # The loader feeds MICRO-batches of 64; optax.MultiSteps accumulates
+        # args.batch_size//64 of them per optimizer update, and the LR
+        # schedule counts updates (train/loop.py divides by grad_accum).
+        micro = min(args.batch_size, 64)
         cfg.data = DataConfig(
             input_size=384,
             formats=("chartok_coords", "edges"),
@@ -60,8 +64,8 @@ def build_config(args):
         )
         cfg.train = TrainConfig(
             epochs=args.epochs,
-            batch_size=args.batch_size,
-            grad_accum_steps=max(args.batch_size // 64, 1),
+            batch_size=micro,
+            grad_accum_steps=max(args.batch_size // micro, 1),
             encoder_lr=4e-4,
             decoder_lr=4e-4,
             warmup_ratio=0.02,

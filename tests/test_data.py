@@ -157,6 +157,33 @@ class TestDatasetLoader:
         )
         assert not ds3.load_item_cache(path)
 
+    def test_item_cache_invalidated_by_render_flags(self, tmp_path):
+        """Flags that change rendered pixels/labels must key the fingerprint
+        (round-3 advisor: a stale cache was silently adopted otherwise)."""
+        import dataclasses
+
+        cfg = tiny_test_config()
+        cfg.data = dataclasses.replace(
+            cfg.data, render_cache=True, augment=False, mol_augment=False,
+            default_style=True, mask_ratio=0.0, include_condensed=False,
+        )
+        smiles = ["CCO", "c1ccccc1"]
+        ds = TrainDataset(cfg, [Sample(s) for s in smiles], get_tokenizer(cfg.data))
+        [ds[i] for i in range(len(ds))]
+        path = str(tmp_path / "item_cache.pkl")
+        assert ds.save_item_cache(path)
+
+        cfg2 = dataclasses.replace(cfg)
+        cfg2.data = dataclasses.replace(cfg.data, include_condensed=True)
+        ds2 = TrainDataset(cfg2, [Sample(s) for s in smiles], get_tokenizer(cfg2.data))
+        assert not ds2.load_item_cache(path)
+
+        # shuffle_nodes randomizes labels per epoch: never cacheable at all
+        cfg3 = dataclasses.replace(cfg)
+        cfg3.data = dataclasses.replace(cfg.data, shuffle_nodes=True)
+        ds3 = TrainDataset(cfg3, [Sample(s) for s in smiles], get_tokenizer(cfg3.data))
+        assert not ds3._item_cacheable
+
     def test_worker_pool_matches_inline_count(self):
         random.seed(2)
         cfg = tiny_test_config()

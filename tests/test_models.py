@@ -174,6 +174,24 @@ class TestEdgeHead:
         out = gp.apply(params, h, idx)
         assert out["edges"].shape == (2, 7, 5, 5)
 
+    def test_heatmap_class_of(self):
+        from molnextr_tpu.models.heads import HEATMAP_ELEMENTS, heatmap_class_of
+
+        other = len(HEATMAP_ELEMENTS)
+        for el in HEATMAP_ELEMENTS:
+            assert heatmap_class_of(el) == HEATMAP_ELEMENTS.index(el)
+        # unknown two-letter elements map to "other", NOT their first letter
+        # (r3 advisor: Na->N, Fe->F, Se->S aliasing)
+        for el in ("Na", "Sn", "Ca", "Fe", "Se", "Pb", "Zn", "Mg"):
+            assert heatmap_class_of(el) == other, el
+        # bracketed / charged / isotope forms still resolve
+        assert heatmap_class_of("[13C]") == HEATMAP_ELEMENTS.index("C")
+        assert heatmap_class_of("[Cl-]") == HEATMAP_ELEMENTS.index("Cl")
+        assert heatmap_class_of("[Na+]") == other
+        # aromatic lowercase single letters resolve via the upper match
+        assert heatmap_class_of("c") == HEATMAP_ELEMENTS.index("C")
+        assert heatmap_class_of("R1") == other
+
 
 class TestDANet:
     def test_shapes_and_identity_at_init(self):
