@@ -17,6 +17,15 @@ while true; do
   if ss -tln | grep -q ':8082 '; then
     DOWN=0
     if [ -z "$ALIVE" ]; then
+      # one-time pre-train measurement (VERDICT r3 item 3): decode unroll
+      # sweep on the idle chip before the long training run claims it
+      if [ ! -f /tmp/r4_premeasure_done ]; then
+        touch /tmp/r4_premeasure_done
+        echo "$(date): pre-train bench_decode sweep" >> /tmp/relay_watch.log
+        timeout 2400 python -u scripts/bench_decode.py --iters 3 \
+          > /tmp/bench_decode_r4.log 2>&1 || true
+        echo "$(date): bench_decode done" >> /tmp/relay_watch.log
+      fi
       N=$((N+1))
       sleep 10
       nohup python -u scripts/train_druglike.py --corpus 20000 --valid 256 \
