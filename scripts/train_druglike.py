@@ -127,6 +127,15 @@ def build_config(args):
         cfg.data.augment = False
         cfg.data.include_condensed = False
         cfg.data.default_style = True
+    elif args.image_augment_only:
+        # robustness fine-tune (VERDICT r3 item 6): keep the LABEL
+        # distribution of the clean run (no molecular augmentation, no
+        # condensed groups) but turn on image noise + render-style jitter
+        # so the model stops being clutter-fragile on the perturbed suite.
+        cfg.data.mol_augment = False
+        cfg.data.include_condensed = False
+        cfg.data.augment = True
+        cfg.data.default_style = False
     return cfg
 
 
@@ -147,6 +156,11 @@ def make_parser():
     p.add_argument("--no-eval", action="store_true")
     p.add_argument("--eval-every", type=int, default=1)
     p.add_argument("--no-augment", action="store_true")
+    p.add_argument(
+        "--image-augment-only", action="store_true",
+        help="image noise + style jitter but clean molecular labels "
+             "(robustness fine-tune after a --no-augment run)",
+    )
     p.add_argument(
         "--eval-train", action="store_true",
         help="evaluate on the first --valid TRAIN samples (overfit check)",
