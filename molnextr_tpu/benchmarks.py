@@ -215,10 +215,13 @@ def run_all(
     image_path: str = "/root/reference/examples/1.png",
     eval_csvs: Optional[Sequence[str]] = None,
     n: int = 32,
+    equal_n: bool = False,
 ) -> List[Dict[str, Any]]:
     """``n`` scales the accuracy suites; at n=32 one image is ±3% so real
     claims need n>=256 (the reference evaluates whole CSVs,
-    `evaluate.py:198-218`).  Beam runs at n/4 (beam-2 decodes 4x slower)."""
+    `evaluate.py:198-218`).  By default beam runs at n/4 (beam-2 decodes
+    4x slower) and dataset/perturbed at n/2; ``equal_n`` forces the full
+    ``n`` everywhere so the suites are statistically comparable."""
     import copy
     import os
 
@@ -230,12 +233,14 @@ def run_all(
     report.append(suite_batch_inference(cfg, model, n=n))
     cfg_beam = copy.deepcopy(cfg)
     cfg_beam.decode.beam_size = 2
+    n_beam = n if equal_n else max(n // 4, 8)
+    n_half = n if equal_n else max(n // 2, 16)
     report.append(
-        suite_batch_inference(cfg_beam, _engine(cfg_beam, model.params), n=max(n // 4, 8))
+        suite_batch_inference(cfg_beam, _engine(cfg_beam, model.params), n=n_beam)
     )
     for csv in eval_csvs or [None]:
-        report.append(suite_dataset_eval(model, csv, n_fallback=max(n // 2, 16)))
-    report.append(suite_perturbed(cfg, model, n=max(n // 2, 16)))
+        report.append(suite_dataset_eval(model, csv, n_fallback=n_half))
+    report.append(suite_perturbed(cfg, model, n=n_half))
     # workers=0: this host exposes one core, where pool IPC reduces
     # throughput (see CLAUDE.md); multi-core hosts should raise it
     report.append(suite_train_throughput(cfg, num_workers=0))
@@ -251,6 +256,11 @@ def main(argv=None):
     p.add_argument("--eval_csv", action="append", default=None)
     p.add_argument("--output", type=str, default=None)
     p.add_argument("--n", type=int, default=32, help="accuracy-suite sample size")
+    p.add_argument(
+        "--equal-n", action="store_true",
+        help="run every accuracy suite at the full --n (no beam/perturbed "
+             "divisors) so cross-suite comparisons share statistics",
+    )
     args = p.parse_args(argv)
     params = None
     if args.model_path:
@@ -263,7 +273,8 @@ def main(argv=None):
         cfg = tiny_test_config()
     else:
         cfg = Config()
-    report = run_all(cfg, params, eval_csvs=args.eval_csv, n=args.n)
+    report = run_all(cfg, params, eval_csvs=args.eval_csv, n=args.n,
+                     equal_n=args.equal_n)
     text = json.dumps(report, indent=2, default=float)
     if args.output:
         with open(args.output, "w") as f:

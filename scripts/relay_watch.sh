@@ -10,6 +10,7 @@
 # forever in nanosleep (CLAUDE.md relay-outage note); after two consecutive
 # down-checks (~40s) kill it so the next relay-up check relaunches.
 cd /root/repo
+echo $$ > /tmp/relay_watch.pid  # self-report: wrapper PIDs are unreliable
 N=0
 DOWN=0
 last_epoch() {
