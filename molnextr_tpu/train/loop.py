@@ -358,9 +358,23 @@ def train_loop(
     ckpt = CheckpointManager(cfg.train.save_path, cfg.train.save_mode)
     start_epoch = 0
     if resume:
-        state, meta = ckpt.restore(state, resume)
-        start_epoch = int(meta.get("epoch", -1)) + 1
-        print_rank_0(f"resumed from {resume}: step {int(state.step)}, epoch {start_epoch}")
+        # Unattended-run safety (round-4 advisor): if the requested snapshot
+        # is missing/partial (e.g. the writer was killed mid-save before
+        # snapshots became atomic), fall back to ckpt_best, then to a fresh
+        # start, instead of crash-looping under the relay babysitter.
+        tried = [resume] + (["best"] if resume != "best" else [])
+        for tag in tried:
+            try:
+                state, meta = ckpt.restore(state, tag)
+                start_epoch = int(meta.get("epoch", -1)) + 1
+                print_rank_0(
+                    f"resumed from {tag}: step {int(state.step)}, epoch {start_epoch}"
+                )
+                break
+            except (FileNotFoundError, OSError, ValueError, KeyError) as e:
+                print_rank_0(f"resume from {tag} failed ({e!r}); trying next fallback")
+        else:
+            print_rank_0("no loadable snapshot; starting fresh")
     metrics_path = os.path.join(cfg.train.save_path, "metrics.jsonl")
     os.makedirs(cfg.train.save_path, exist_ok=True)
     rng = jax.random.PRNGKey(cfg.train.seed + 1)
@@ -417,6 +431,11 @@ def train_loop(
 
     compiled_multi = None
     tracing = False
+    # profiler latch is relative to the RUN start, not absolute step 1: on a
+    # resumed run global_step restores > 0, so an absolute latch would start
+    # the trace before the first post-resume dispatch and capture the very
+    # recompile it exists to exclude (round-4 advisor)
+    profile_base = global_step
     for epoch in range(start_epoch, cfg.train.epochs):
         loader.set_epoch(epoch)
         loss_meter = LossMeter()
@@ -427,10 +446,11 @@ def train_loop(
         for unit, unit_k in _dispatch_units(epoch):
             bidx += unit_k
             data_time.update(time.time() - t_prev)
-            # latch on >= 1: with dispatch_steps>1 global_step advances
-            # 0->K per dispatch and never equals 1 exactly (r3 advisor);
-            # skipping step 0 keeps the compile out of the trace
-            if profile_steps and not tracing and global_step >= 1:
+            # latch on >= base+1: with dispatch_steps>1 global_step advances
+            # 0->K per dispatch and never equals base+1 exactly (r3 advisor);
+            # skipping the run's first dispatch keeps the compile out of the
+            # trace, including after resume (base = step at run start)
+            if profile_steps and not tracing and global_step >= profile_base + 1:
                 jax.profiler.start_trace(os.path.join(cfg.train.save_path, "profile"))
                 tracing = True
             # fresh dropout key per step — required for correct dropout AND
@@ -469,7 +489,7 @@ def train_loop(
             gc.collect(0)
             if bidx % print_freq < unit_k:
                 gc.collect()
-            if tracing and global_step >= 1 + profile_steps:
+            if tracing and global_step >= profile_base + 1 + profile_steps:
                 jax.block_until_ready(metrics["loss"])
                 jax.profiler.stop_trace()
                 profile_steps = 0

@@ -19,6 +19,21 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(x) -> None:
+    """True execution barrier on the axon relay runtime.
+
+    ``jax.block_until_ready`` returns before remote execution completes on
+    this runtime (observed: a 0.5 s/batch Swin-base encode "timed" at 2 ms),
+    so every timing must end with a device->host fetch — a single scalar is
+    enough since the fetch queues behind the timed dispatch on the one
+    device stream (same pattern as bench.py's ``np.asarray(out[0])``)."""
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    # plain indexing, not reshape(-1): reshaping a large tiled array to 1-D
+    # compiles a full materialized copy (observed 19 GB alloc for a 452 MB
+    # image batch on v5e) — a scalar slice allocates nothing
+    np.asarray(jax.device_get(leaf[(0,) * leaf.ndim]))
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=256)
@@ -56,16 +71,24 @@ def main():
     jax.block_until_ready(params)
     print("init done")
 
+    # distinct inputs generated ON DEVICE per iteration (bench.py pattern):
+    # host->device of a 452 MB f32 batch rides the tunnel and would dominate
+    # the timing; distinct keys defeat runtime dispatch memoization
+    gen = jax.jit(
+        lambda k: jax.random.normal(k, (b, s, s, 3), jnp.float32)
+    )
+    keys = iter(range(1, 1000))
+
     # encode timed separately so decode ms/step can be isolated
     encode = jax.jit(
         lambda p_, im: model.apply(p_, im, method=MolNexTRModel.encode)
     )
     et = []
-    for _ in range(args.iters):
-        imgs = jnp.asarray(rng.standard_normal((b, s, s, 3), dtype=np.float32))
-        jax.block_until_ready(imgs)
+    for _ in range(args.iters + 1):
+        imgs = gen(jax.random.PRNGKey(next(keys)))
+        _sync(imgs)
         t0 = time.time()
-        jax.block_until_ready(encode(params, imgs))
+        _sync(encode(params, imgs))
         et.append(time.time() - t0)
     enc = min(et[1:] or et)
     print(f"encode leg: {enc:.3f}s/batch")
@@ -74,18 +97,16 @@ def main():
     for unroll in [int(u) for u in args.unrolls.split(",")]:
         cfg.decode.unroll = unroll
         engine = InferenceEngine(cfg, tokenizers, model, params)
-        imgs = jnp.asarray(rng.standard_normal((b, s, s, 3), dtype=np.float32))
+        imgs = gen(jax.random.PRNGKey(next(keys)))
         t0 = time.time()
-        jax.block_until_ready(engine._decode_jit(params, imgs)[0])
+        _sync(engine._decode_jit(params, imgs)[0])
         compile_s = time.time() - t0
         times = []
         for _ in range(args.iters):
-            imgs = jnp.asarray(
-                rng.standard_normal((b, s, s, 3), dtype=np.float32)
-            )
-            jax.block_until_ready(imgs)
+            imgs = gen(jax.random.PRNGKey(next(keys)))
+            _sync(imgs)
             t0 = time.time()
-            jax.block_until_ready(engine._decode_jit(params, imgs)[0])
+            _sync(engine._decode_jit(params, imgs)[0])
             times.append(time.time() - t0)
         best = min(times)
         ms_step = (best - enc) * 1000.0 / max_len

@@ -6,6 +6,17 @@
 #   phase 2  epochs 40-45 augmentation fine-tune (robustness, VERDICT item 6)
 #   done     epoch >= 45: stop relaunching (touch /tmp/druglike3_alldone)
 #
+# Coordination with bench.py (VERDICT r4 weak #1): bench.py writes
+# /tmp/bench_hold while it owns the chip (after SIGTERMing any trainer whose
+# pid is in /tmp/druglike3.pid); while that file exists — and is younger
+# than 30 min, to survive a crashed bench — no trainer is (re)launched.
+#
+# One-time premeasures (VERDICT r4 weak #5/#6): marker files are touched
+# ONLY on success, each attempt is retried on later passes (max 3), and the
+# results are copied into the repo (docs_bench_decode_r5.log /
+# BENCH_OPPORTUNISTIC_r5.json) so the evidence survives even if the relay
+# dies again.
+#
 # If the relay goes DOWN while the trainer is alive, the trainer hangs
 # forever in nanosleep (CLAUDE.md relay-outage note); after two consecutive
 # down-checks (~40s) kill it so the next relay-up check relaunches.
@@ -22,22 +33,59 @@ except Exception:
     print(-1)
 PY
 }
+
+bench_hold_active() {
+  # active if /tmp/bench_hold exists and is < 30 min old (stale guard)
+  [ -f /tmp/bench_hold ] || return 1
+  local age=$(( $(date +%s) - $(stat -c %Y /tmp/bench_hold 2>/dev/null || echo 0) ))
+  [ "$age" -lt 1800 ]
+}
+
+premeasure() {
+  # opportunistic real-TPU bench number, committed-ready in the repo root
+  if [ ! -f /tmp/r5_bench_done ] && [ "$(cat /tmp/r5_bench_tries 2>/dev/null || echo 0)" -lt 3 ]; then
+    echo $(( $(cat /tmp/r5_bench_tries 2>/dev/null || echo 0) + 1 )) > /tmp/r5_bench_tries
+    echo "$(date): opportunistic bench.py" >> /tmp/relay_watch.log
+    if timeout 2400 python -u bench.py > /tmp/bench_opp_r5.json 2>/tmp/bench_opp_r5.err; then
+      if grep -q '"value": 0.0' /tmp/bench_opp_r5.json; then
+        echo "$(date): bench ran but relay was down" >> /tmp/relay_watch.log
+      else
+        cp /tmp/bench_opp_r5.json BENCH_OPPORTUNISTIC_r5.json
+        touch /tmp/r5_bench_done
+        echo "$(date): opportunistic bench ok: $(cat /tmp/bench_opp_r5.json)" >> /tmp/relay_watch.log
+      fi
+    else
+      echo "$(date): opportunistic bench FAILED (see /tmp/bench_opp_r5.err)" >> /tmp/relay_watch.log
+    fi
+  fi
+  # decode unroll sweep (VERDICT r4 item 4)
+  if [ ! -f /tmp/r5_sweep_done ] && [ "$(cat /tmp/r5_sweep_tries 2>/dev/null || echo 0)" -lt 3 ]; then
+    echo $(( $(cat /tmp/r5_sweep_tries 2>/dev/null || echo 0) + 1 )) > /tmp/r5_sweep_tries
+    echo "$(date): pre-train bench_decode sweep" >> /tmp/relay_watch.log
+    if timeout 2400 python -u scripts/bench_decode.py --iters 3 > /tmp/bench_decode_r5.log 2>&1 \
+       && grep -q '^BEST:' /tmp/bench_decode_r5.log; then
+      cp /tmp/bench_decode_r5.log docs_bench_decode_r5.log
+      touch /tmp/r5_sweep_done
+      echo "$(date): bench_decode done: $(grep '^BEST:' /tmp/bench_decode_r5.log)" >> /tmp/relay_watch.log
+    else
+      echo "$(date): bench_decode FAILED/incomplete" >> /tmp/relay_watch.log
+    fi
+  fi
+}
+
 while true; do
   PID=$(cat /tmp/druglike3.pid 2>/dev/null)
   ALIVE=""
   [ -n "$PID" ] && kill -0 "$PID" 2>/dev/null && ALIVE=1
   if ss -tln | grep -q ':8082 '; then
     DOWN=0
+    if bench_hold_active; then
+      sleep 20
+      continue
+    fi
     if [ -z "$ALIVE" ] && [ ! -f /tmp/druglike3_alldone ]; then
-      # one-time pre-train measurement (VERDICT r3 item 3): decode unroll
-      # sweep on the idle chip before the long training run claims it
-      if [ ! -f /tmp/r4_premeasure_done ]; then
-        touch /tmp/r4_premeasure_done
-        echo "$(date): pre-train bench_decode sweep" >> /tmp/relay_watch.log
-        timeout 2400 python -u scripts/bench_decode.py --iters 3 \
-          > /tmp/bench_decode_r4.log 2>&1 || true
-        echo "$(date): bench_decode done" >> /tmp/relay_watch.log
-      fi
+      premeasure
+      bench_hold_active && continue
       EP=$(last_epoch | tail -1)
       if [ "$EP" -ge 45 ] 2>/dev/null; then
         echo "$(date): all phases done (epoch $EP)" >> /tmp/relay_watch.log

@@ -56,6 +56,12 @@ def build_config(args):
         # args.batch_size//64 of them per optimizer update, and the LR
         # schedule counts updates (train/loop.py divides by grad_accum).
         micro = min(args.batch_size, 64)
+        # accum = batch//micro floors: a non-multiple of 64 would silently
+        # shrink the global batch (e.g. 96 -> 64), so reject it up front
+        assert args.batch_size % micro == 0, (
+            f"--flagship batch-size must be a multiple of {micro} "
+            f"(got {args.batch_size}; accumulation would drop the remainder)"
+        )
         cfg.data = DataConfig(
             input_size=384,
             formats=("chartok_coords", "edges"),
