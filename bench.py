@@ -98,6 +98,11 @@ def main() -> None:
     p.add_argument("--batch", type=int, default=256)
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--decode-len", type=int, default=480)
+    p.add_argument(
+        "--kv-int8", action="store_true",
+        default=os.environ.get("MOLNEXTR_KV_INT8", "") == "1",
+        help="int8 KV caches in the decode loop (DecoderConfig.kv_int8)",
+    )
     args = p.parse_args()
 
     if not _tpu_relay_alive():
@@ -123,6 +128,7 @@ def main() -> None:
 
     cfg = Config()
     cfg.decoder.max_len = args.decode_len
+    cfg.decoder.kv_int8 = args.kv_int8
     tokenizers = get_tokenizer(cfg.data)
     vocab_sizes = {f: len(t) for f, t in tokenizers.items()}
     model = MolNexTRModel(cfg, vocab_sizes, dtype=jnp.bfloat16)

@@ -74,6 +74,15 @@ class DecoderConfig:
     # tiles, while XLA's fusion handles the (B,H,T,T) tensor in ~0.7ms of
     # HBM traffic.  Kept for experimentation on models with d >= 128.
     use_flash_attention: bool = False
+    # int8 KV caches for the decode loop (inference only; training's
+    # teacher-forced pass never builds a cache).  The 480-step decode is
+    # HBM-bound on the cache reads (docs_bench_decode_r5.log), and int8
+    # halves that traffic: K/V are quantized per token (max-abs over the
+    # head/channel axis, symmetric, scale folded into the matmuls — exact
+    # up to the 8-bit rounding).  Scales ride the cache dict as extra
+    # "<name>_scale" leaves so beam's gather and the phased growth handle
+    # them generically.
+    kv_int8: bool = False
 
 
 @dataclass

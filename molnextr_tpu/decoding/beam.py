@@ -176,24 +176,29 @@ def beam_decode(
     if phased and self_k_full is not None and self_k_full.shape[-2] > 128:
         # phased cache growth, as in greedy_decode: attention reads scale
         # with the current phase's cache length
+        # every self-cache leaf (values AND int8 scales) keeps its time axis
+        # at -2, so the phase slicing/padding is uniform over "self_*" keys
+        self_keys = [key for key in state.cache if key.startswith("self_")]
+
         def slice_cache(c, length):
             return {
                 **c,
-                "self_k": jax.lax.slice_in_dim(c["self_k"], 0, length, axis=-2),
-                "self_v": jax.lax.slice_in_dim(c["self_v"], 0, length, axis=-2),
+                **{
+                    key: jax.lax.slice_in_dim(c[key], 0, length, axis=-2)
+                    for key in self_keys
+                },
             }
 
         def grow_cache(c, target):
             cur = c["self_k"].shape[-2]
             if cur >= target:
                 return c
-            pad = [(0, 0)] * c["self_k"].ndim
-            pad[-2] = (0, target - cur)
-            return {
-                **c,
-                "self_k": jnp.pad(c["self_k"], pad),
-                "self_v": jnp.pad(c["self_v"], pad),
-            }
+            out = dict(c)
+            for key in self_keys:
+                pad = [(0, 0)] * c[key].ndim
+                pad[-2] = (0, target - cur)
+                out[key] = jnp.pad(c[key], pad)
+            return out
 
         s = state._replace(cache=slice_cache(state.cache, 128))
         for phase_len in range(128, self_k_full.shape[-2] + 1, 128):

@@ -178,26 +178,28 @@ def greedy_decode(
         # over the same body (shapes are static per phase).
         full_k = state.cache["self_k"]
         boundaries = list(range(128, full_k.shape[-2] + 1, 128))
+        # every self-cache leaf (values AND int8 scales) keeps its time axis
+        # at -2, so the phase slicing/padding is uniform over "self_*" keys
+        self_keys = [key for key in state.cache if key.startswith("self_")]
         # phase 1 starts with a 128-length cache
         s = state._replace(
             cache={
                 **state.cache,
-                "self_k": jax.lax.slice_in_dim(full_k, 0, 128, axis=-2),
-                "self_v": jax.lax.slice_in_dim(state.cache["self_v"], 0, 128, axis=-2),
+                **{
+                    key: jax.lax.slice_in_dim(state.cache[key], 0, 128, axis=-2)
+                    for key in self_keys
+                },
             }
         )
         for phase_len in boundaries:
             grow = phase_len - s.cache["self_k"].shape[-2]
             if grow > 0:
-                pad = [(0, 0)] * full_k.ndim
-                pad[-2] = (0, grow)
-                s = s._replace(
-                    cache={
-                        **s.cache,
-                        "self_k": jnp.pad(s.cache["self_k"], pad),
-                        "self_v": jnp.pad(s.cache["self_v"], pad),
-                    }
-                )
+                grown = dict(s.cache)
+                for key in self_keys:
+                    pad = [(0, 0)] * s.cache[key].ndim
+                    pad[-2] = (0, grow)
+                    grown[key] = jnp.pad(s.cache[key], pad)
+                s = s._replace(cache=grown)
             limit = min(phase_len, max_len)
 
             def phase_cond(st, limit=limit):

@@ -257,6 +257,58 @@ class DecoderLayer(nn.Module):
         out = self.ffn(mid + q_res, True)
         return (out, self_k, self_v), {}
 
+    def cached_step_q8(self, carry, scanned, bcast):
+        """One-token forward against int8 caches (``DecoderConfig.kv_int8``).
+
+        Identical math to :meth:`cached_step` up to 8-bit rounding of the
+        cached K/V: new self K/V rows are quantized per token (max-abs over
+        head_dim) before the ``dynamic_update_slice``; both attention reads
+        fold the per-token scales back in exactly.  Halves the decode
+        loop's HBM traffic, which bench showed to be the bottleneck
+        (docs_bench_decode_r5.log)."""
+        from molnextr_tpu.ops.decode_attention import (
+            cached_decode_attention_layered_q8,
+            cross_decode_attention_folded_q8,
+            quantize_per_token,
+        )
+
+        x, self_k, self_ks, self_v, self_vs = carry
+        layer_idx = scanned["layer_idx"]
+        pos = bcast["pos"]
+
+        xn = self.ln1(x)
+        q, k_new, v_new = self.self_attn.project_qkv(xn)
+        k_q, k_s = quantize_per_token(k_new)  # (B,H,1,hd) int8, (B,H,1,1) f32
+        v_q, v_s = quantize_per_token(v_new)
+        self_k = jax.lax.dynamic_update_slice(
+            self_k, k_q[None], (layer_idx, 0, 0, pos, 0)
+        )
+        self_ks = jax.lax.dynamic_update_slice(
+            self_ks, k_s[None], (layer_idx, 0, 0, pos, 0)
+        )
+        self_v = jax.lax.dynamic_update_slice(
+            self_v, v_q[None], (layer_idx, 0, 0, pos, 0)
+        )
+        self_vs = jax.lax.dynamic_update_slice(
+            self_vs, v_s[None], (layer_idx, 0, 0, pos, 0)
+        )
+        ctx = cached_decode_attention_layered_q8(
+            q[:, :, 0], self_k, self_ks, self_v, self_vs, pos, layer_idx
+        )
+        attn_out = self.self_attn.out(self.self_attn._merge(ctx[:, :, None, :]))
+        q_res = attn_out + x
+        qn = self.ln2(q_res)
+        qq = self.cross_attn.project_q(qn)
+        cross_ctx = cross_decode_attention_folded_q8(
+            qq[:, :, 0],
+            bcast["mem_k"], bcast["mem_k_scale"],
+            bcast["mem_v"], bcast["mem_v_scale"],
+            layer_idx, self.cfg.attn_heads,
+        )
+        mid = self.cross_attn.out(self.cross_attn._merge(cross_ctx[:, :, None, :]))
+        out = self.ffn(mid + q_res, True)
+        return (out, self_k, self_ks, self_v, self_vs), {}
+
 
 class Decoder(nn.Module):
     """Full decoder stack with embeddings and final LayerNorm."""
@@ -284,7 +336,7 @@ class Decoder(nn.Module):
             in_axes=(0, nn.broadcast),
             out_axes=0,
             length=c.num_layers,
-            methods=["forward", "project_memory", "cached_step"],
+            methods=["forward", "project_memory", "cached_step", "cached_step_q8"],
         )
         self.layers = scan(c, self.dtype, name="layers")
         self.final_ln = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype)
@@ -341,6 +393,23 @@ class Decoder(nn.Module):
         # self-cache length rounded up to a 128 multiple: aligns TPU tiles
         # and the pallas decode-attention chunking
         t_cache = ((c.max_len + 127) // 128) * 128
+        if c.kv_int8:
+            from molnextr_tpu.ops.decode_attention import quantize_per_token
+
+            mem_k, mem_k_scale = quantize_per_token(proj["mem_k"])
+            mem_v, mem_v_scale = quantize_per_token(proj["mem_v"])
+            zeros = jnp.zeros((c.num_layers, b, h, t_cache, hd), jnp.int8)
+            szeros = jnp.zeros((c.num_layers, b, h, t_cache, 1), jnp.float32)
+            return {
+                "self_k": zeros,
+                "self_k_scale": szeros,
+                "self_v": jnp.zeros_like(zeros),
+                "self_v_scale": jnp.zeros_like(szeros),
+                "mem_k": mem_k,
+                "mem_k_scale": mem_k_scale,
+                "mem_v": mem_v,
+                "mem_v_scale": mem_v_scale,
+            }
         zeros = jnp.zeros((c.num_layers, b, h, t_cache, hd), dtype=self.dtype)
         return {
             "self_k": zeros,
@@ -357,6 +426,31 @@ class Decoder(nn.Module):
         """
         c = self.cfg
         x = self.embed_tokens(token[:, None], pos)
+        if c.kv_int8:
+            carry = (
+                x,
+                cache["self_k"], cache["self_k_scale"],
+                cache["self_v"], cache["self_v_scale"],
+            )
+            (x, self_k, self_ks, self_v, self_vs), _ = self.layers.cached_step_q8(
+                carry,
+                {"layer_idx": jnp.arange(c.num_layers, dtype=jnp.int32)},
+                {
+                    "pos": pos,
+                    "mem_k": cache["mem_k"],
+                    "mem_k_scale": cache["mem_k_scale"],
+                    "mem_v": cache["mem_v"],
+                    "mem_v_scale": cache["mem_v_scale"],
+                },
+            )
+            cache = {
+                **cache,
+                "self_k": self_k,
+                "self_k_scale": self_ks,
+                "self_v": self_v,
+                "self_v_scale": self_vs,
+            }
+            return self.final_ln(x)[:, 0], cache
         carry = (x, cache["self_k"], cache["self_v"])
         (x, self_k, self_v), _ = self.layers.cached_step(
             carry,

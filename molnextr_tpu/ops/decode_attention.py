@@ -311,6 +311,103 @@ def cross_decode_attention_folded(
     return out.astype(q.dtype)
 
 
+def quantize_per_token(x: jnp.ndarray, axis: int = -1):
+    """Symmetric int8 quantization with one scale per token.
+
+    ``axis`` is the reduced (channel) axis; the scale keeps that axis with
+    size 1 so it broadcasts back.  Rounding runs in f32 regardless of the
+    input dtype.  Returns (int8 values, f32 scales)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def decode_attention_reference_q8(
+    q: jnp.ndarray,
+    k_q: jnp.ndarray, k_s: jnp.ndarray,
+    v_q: jnp.ndarray, v_s: jnp.ndarray,
+    pos: jnp.ndarray,
+) -> jnp.ndarray:
+    """int8-cache self attention: q (B,H,d); k_q/v_q (B,H,T,d) int8 with
+    per-token scales k_s/v_s (B,H,T,1) f32.
+
+    Per-token symmetric scales factor OUT of both contractions exactly:
+    ``scores[t] = s_k[t] * (q . K_q[t])`` and
+    ``out = sum_t (p[t] * s_v[t]) * V_q[t]`` — so the only approximation is
+    the 8-bit rounding of K/V themselves.  The int8 operand is converted
+    on the fly inside the fused einsum; HBM still only reads 1 byte/elem,
+    which is the point (the decode is cache-bandwidth-bound)."""
+    d = q.shape[-1]
+    # NO explicit astype on the cache: a standalone convert materializes a
+    # full-size copy in HBM (round-2 trace, CLAUDE.md); implicit promotion
+    # inside the einsum fuses the int8->float convert into the dot, so HBM
+    # reads stay 1 byte/elem
+    scores = jnp.einsum(
+        "bhd,bhtd->bht", q, k_q, preferred_element_type=jnp.float32
+    )
+    scores = scores * k_s[..., 0] / (d ** 0.5)
+    t_idx = jnp.arange(k_q.shape[2])
+    scores = jnp.where(t_idx[None, None] > pos, -1e30, scores)
+    p = jax.nn.softmax(scores, axis=-1)
+    pv = (p * v_s[..., 0]).astype(q.dtype)
+    out = jnp.einsum(
+        "bht,bhtd->bhd", pv, v_q, preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
+def cached_decode_attention_layered_q8(
+    q: jnp.ndarray,
+    k_full: jnp.ndarray, k_scale: jnp.ndarray,
+    v_full: jnp.ndarray, v_scale: jnp.ndarray,
+    pos: jnp.ndarray, layer: jnp.ndarray,
+) -> jnp.ndarray:
+    """One layer of a stacked int8 self cache: k_full/v_full
+    (L,B,H,T,d) int8, scales (L,B,H,T,1) f32."""
+    k_q = jax.lax.dynamic_index_in_dim(k_full, layer, 0, keepdims=False)
+    v_q = jax.lax.dynamic_index_in_dim(v_full, layer, 0, keepdims=False)
+    k_s = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, keepdims=False)
+    v_s = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, keepdims=False)
+    return decode_attention_reference_q8(q, k_q, k_s, v_q, v_s, pos)
+
+
+def cross_decode_attention_folded_q8(
+    q: jnp.ndarray,
+    mem_k: jnp.ndarray, mem_k_scale: jnp.ndarray,
+    mem_v: jnp.ndarray, mem_v_scale: jnp.ndarray,
+    layer: jnp.ndarray,
+    num_heads: int,
+) -> jnp.ndarray:
+    """Head-folded cross attention against an int8 memory cache.
+
+    mem_k/mem_v: (L,B,M,H*d) int8; scales (L,B,M,1) f32 (one per memory
+    position, shared across the folded channel axis — factoring out of
+    both einsums exactly as in :func:`decode_attention_reference_q8`).
+    Layout rationale unchanged from :func:`cross_decode_attention_folded`.
+    """
+    kl = jax.lax.dynamic_index_in_dim(mem_k, layer, 0, keepdims=False)
+    vl = jax.lax.dynamic_index_in_dim(mem_v, layer, 0, keepdims=False)
+    ks = jax.lax.dynamic_index_in_dim(mem_k_scale, layer, 0, keepdims=False)
+    vs = jax.lax.dynamic_index_in_dim(mem_v_scale, layer, 0, keepdims=False)
+    b, m, hd_total = kl.shape
+    d = hd_total // num_heads
+    k4 = kl.reshape(b, m, num_heads, d)
+    v4 = vl.reshape(b, m, num_heads, d)
+    # implicit promotion only — see decode_attention_reference_q8
+    scores = jnp.einsum(
+        "bhd,bmhd->bhm", q, k4, preferred_element_type=jnp.float32
+    )
+    scores = scores * ks[..., 0][:, None, :] / (d ** 0.5)
+    p = jax.nn.softmax(scores, axis=-1)
+    pv = (p * vs[..., 0][:, None, :]).astype(q.dtype)
+    out = jnp.einsum(
+        "bhm,bmhd->bhd", pv, v4, preferred_element_type=jnp.float32,
+    )
+    return out.astype(q.dtype)
+
+
 def decode_attention_reference(
     q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray, pos: jnp.ndarray
 ) -> jnp.ndarray:
