@@ -60,6 +60,12 @@ class MolNexTR:
                 cfg, params = load_model(model_path)
         if cfg is None:
             raise ValueError("need model_path or (cfg, params)")
+        if os.environ.get("MOLNEXTR_KV_INT8", "") == "1":
+            # runtime-only decode option (never persisted in bundles):
+            # int8 KV caches halve the decode loop's HBM traffic
+            import dataclasses
+
+            cfg.decoder = dataclasses.replace(cfg.decoder, kv_int8=True)
         self.cfg = cfg
         self.num_workers = num_workers
         self.tokenizers = get_tokenizer(cfg.data)

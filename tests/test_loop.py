@@ -64,6 +64,54 @@ class TestTrainLoop:
         assert int(restored.step) == 7
         assert meta["epoch"] == 0
 
+    def test_resume_missing_snapshot_starts_fresh(self, tmp_path):
+        """--resume last on an empty save dir must fall back to a fresh
+        start (the relay babysitter always passes --resume last, including
+        on the very first launch after a wipe — round-4 advisor)."""
+        from molnextr_tpu.train.loop import train_loop
+
+        cfg = tiny_test_config()
+        cfg.train.epochs = 1
+        cfg.train.batch_size = 8
+        cfg.train.save_path = str(tmp_path)
+        samples = [Sample(s) for s in SMILES]
+        state = train_loop(
+            cfg, samples, valid_samples=samples[:4], num_workers=0,
+            print_freq=1, resume="last",
+        )
+        assert int(state.step) == len(SMILES) // 8
+
+    def test_snapshot_atomic_swap_keeps_old_on_partial(self, tmp_path):
+        """A stale .tmp staging dir from a killed writer must not corrupt
+        the next save or load (atomic snapshot protocol)."""
+        import jax
+
+        from molnextr_tpu.checkpoint import CheckpointManager
+        from molnextr_tpu.models.model import MolNexTRModel
+        from molnextr_tpu.tokenization import get_tokenizer
+        from molnextr_tpu.train import create_train_state
+        from molnextr_tpu.train.loop import _dummy_init_batch
+
+        cfg = tiny_test_config()
+        cfg.train.save_path = str(tmp_path)
+        tokenizers = get_tokenizer(cfg.data)
+        model = MolNexTRModel(cfg, {f: len(t) for f, t in tokenizers.items()})
+        batch = _dummy_init_batch(cfg, tokenizers)
+        state = create_train_state(cfg, model, jax.random.PRNGKey(0), 10, batch)
+        mgr = CheckpointManager(str(tmp_path), "last")
+        mgr.save(cfg, state, epoch=0, score=0.1)
+        # simulate a writer killed mid-stage: leave a half-written tmp dir
+        stale = os.path.join(str(tmp_path), "ckpt_last.tmp")
+        os.makedirs(stale)
+        with open(os.path.join(stale, "params.msgpack"), "wb") as f:
+            f.write(b"partial")
+        state2 = state.replace(step=state.step + 3)
+        mgr.save(cfg, state2, epoch=1, score=0.2)
+        assert not os.path.exists(stale)
+        restored, meta = mgr.restore(state, "last")
+        assert int(restored.step) == 3
+        assert meta["epoch"] == 1
+
 
 class TestCLIs:
     def test_evaluate_cli(self, tmp_path, capsys):
