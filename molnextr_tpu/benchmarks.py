@@ -88,6 +88,9 @@ def suite_batch_inference(cfg: Config, model, n: int = 32) -> Dict[str, Any]:
         "n": n,
         "img_per_s": round(n / dt, 2),
         **{k: round(v, 4) if isinstance(v, float) else v for k, v in scores.items()},
+        # raw predictions for A/B tooling (scripts/ab_int8_suites.py pops
+        # this before reporting; run_all callers serialize it out harmlessly)
+        "_smiles": smiles,
     }
 
 
@@ -244,6 +247,8 @@ def run_all(
     # workers=0: this host exposes one core, where pool IPC reduces
     # throughput (see CLAUDE.md); multi-core hosts should raise it
     report.append(suite_train_throughput(cfg, num_workers=0))
+    for suite in report:
+        suite.pop("_smiles", None)  # raw predictions are for A/B tooling only
     return report
 
 
