@@ -1,10 +1,15 @@
 #!/bin/bash
-# Babysitter: whenever the TPU relay is up and the druglike3 trainer is not
+# Babysitter: whenever the TPU relay is up and the managed trainer is not
 # running, (re)launch the right training phase with --resume last.
 # Survives tunnel outages; chains phases:
-#   phase 1  epochs 0-39  clean (--no-augment) training
-#   phase 2  epochs 40-45 augmentation fine-tune (robustness, VERDICT item 6)
-#   done     epoch >= 45: stop relaunching (touch /tmp/druglike3_alldone)
+#   run 1 (output/druglike3, 20k corpus):
+#     phase 1  epochs 0-39  clean (--no-augment) training
+#     phase 2  epochs 40-45 augmentation fine-tune (robustness)
+#     done     epoch >= 45 -> touch /tmp/druglike3_alldone
+#   run 2 (output/druglike60k, 60k corpus — round-5 stretch, prebuilt cache):
+#     phase 1  epochs 0-29  clean
+#     phase 2  epochs 30-33 augmentation fine-tune
+#     done     epoch >= 33 -> touch /tmp/druglike60k_alldone, stop
 #
 # Coordination with bench.py (VERDICT r4 weak #1): bench.py writes
 # /tmp/bench_hold while it owns the chip (after SIGTERMing any trainer whose
@@ -25,10 +30,11 @@ echo $$ > /tmp/relay_watch.pid  # self-report: wrapper PIDs are unreliable
 N=0
 DOWN=0
 last_epoch() {
-  python - <<'PY' 2>/dev/null || echo -1
-import json
+  SAVE_PATH="$1" python - <<'PY' 2>/dev/null || echo -1
+import json, os
 try:
-    print(json.load(open("output/druglike3/ckpt_last/train_meta.json"))["epoch"])
+    p = os.path.join(os.environ["SAVE_PATH"], "ckpt_last/train_meta.json")
+    print(json.load(open(p))["epoch"])
 except Exception:
     print(-1)
 PY
@@ -83,24 +89,45 @@ while true; do
       sleep 20
       continue
     fi
-    if [ -z "$ALIVE" ] && [ ! -f /tmp/druglike3_alldone ]; then
+    if [ -z "$ALIVE" ] && [ ! -f /tmp/druglike60k_alldone ]; then
       premeasure
       bench_hold_active && continue
-      EP=$(last_epoch | tail -1)
-      if [ "$EP" -ge 45 ] 2>/dev/null; then
-        echo "$(date): all phases done (epoch $EP)" >> /tmp/relay_watch.log
-        touch /tmp/druglike3_alldone
-        continue
-      fi
-      if [ "$EP" -ge 39 ] 2>/dev/null; then
-        PHASE="aug-finetune"
-        ARGS="--corpus 20000 --valid 256 --epochs 46 --batch-size 128 \
-          --image-augment-only --eval-every 2 --save-path output/druglike3 \
-          --resume last --dispatch 12"
+      ARGS=""
+      if [ ! -f /tmp/druglike3_alldone ]; then
+        EP=$(last_epoch output/druglike3 | tail -1)
+        if [ "$EP" -ge 45 ] 2>/dev/null; then
+          echo "$(date): 20k phases done (epoch $EP)" >> /tmp/relay_watch.log
+          touch /tmp/druglike3_alldone
+          continue
+        fi
+        if [ "$EP" -ge 39 ] 2>/dev/null; then
+          PHASE="20k-aug-finetune"
+          ARGS="--corpus 20000 --valid 256 --epochs 46 --batch-size 128 \
+            --image-augment-only --eval-every 2 --save-path output/druglike3 \
+            --resume last --dispatch 12"
+        else
+          PHASE="20k-clean"
+          ARGS="--corpus 20000 --valid 256 --epochs 40 --batch-size 128 \
+            --no-augment --eval-every 4 --save-path output/druglike3 --resume last --dispatch 12"
+        fi
       else
-        PHASE="clean"
-        ARGS="--corpus 20000 --valid 256 --epochs 40 --batch-size 128 \
-          --no-augment --eval-every 4 --save-path output/druglike3 --resume last --dispatch 12"
+        EP=$(last_epoch output/druglike60k | tail -1)
+        if [ "$EP" -ge 33 ] 2>/dev/null; then
+          echo "$(date): 60k phases done (epoch $EP)" >> /tmp/relay_watch.log
+          touch /tmp/druglike60k_alldone
+          continue
+        fi
+        if [ "$EP" -ge 29 ] 2>/dev/null; then
+          PHASE="60k-aug-finetune"
+          ARGS="--corpus 60000 --valid 384 --epochs 34 --batch-size 128 \
+            --image-augment-only --eval-every 2 --save-path output/druglike60k \
+            --resume last --dispatch 12"
+        else
+          PHASE="60k-clean"
+          ARGS="--corpus 60000 --valid 384 --epochs 30 --batch-size 128 \
+            --no-augment --eval-every 3 --save-path output/druglike60k \
+            --resume last --dispatch 12"
+        fi
       fi
       N=$((N+1))
       sleep 10
