@@ -99,9 +99,10 @@ def main() -> None:
     p.add_argument("--iters", type=int, default=3)
     p.add_argument("--decode-len", type=int, default=480)
     p.add_argument(
-        "--kv-int8", action="store_true",
-        default=os.environ.get("MOLNEXTR_KV_INT8", "") == "1",
-        help="int8 KV caches in the decode loop (DecoderConfig.kv_int8)",
+        "--kv-int8", action=argparse.BooleanOptionalAction,
+        default=(os.environ.get("MOLNEXTR_KV_INT8", "") == "1") or None,
+        help="int8 KV caches in the decode loop; unset = DecoderConfig.kv_int8 "
+             "default (ON since round 5, gated by AB_INT8_r5.json)",
     )
     args = p.parse_args()
 
@@ -128,7 +129,8 @@ def main() -> None:
 
     cfg = Config()
     cfg.decoder.max_len = args.decode_len
-    cfg.decoder.kv_int8 = args.kv_int8
+    if args.kv_int8 is not None:
+        cfg.decoder.kv_int8 = args.kv_int8
     tokenizers = get_tokenizer(cfg.data)
     vocab_sizes = {f: len(t) for f, t in tokenizers.items()}
     model = MolNexTRModel(cfg, vocab_sizes, dtype=jnp.bfloat16)

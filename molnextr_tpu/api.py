@@ -60,12 +60,17 @@ class MolNexTR:
                 cfg, params = load_model(model_path)
         if cfg is None:
             raise ValueError("need model_path or (cfg, params)")
-        if os.environ.get("MOLNEXTR_KV_INT8", "") == "1":
+        _kv8 = os.environ.get("MOLNEXTR_KV_INT8", "")
+        if _kv8 in ("0", "1"):
             # runtime-only decode option (never persisted in bundles):
-            # int8 KV caches halve the decode loop's HBM traffic
+            # int8 KV caches halve the decode loop's HBM traffic.  Default
+            # ON since round 5 (DecoderConfig.kv_int8); "0" forces the
+            # exact bf16/f32 cache path back on.
             import dataclasses
 
-            cfg.decoder = dataclasses.replace(cfg.decoder, kv_int8=True)
+            cfg.decoder = dataclasses.replace(
+                cfg.decoder, kv_int8=_kv8 == "1"
+            )
         self.cfg = cfg
         self.num_workers = num_workers
         self.tokenizers = get_tokenizer(cfg.data)

@@ -65,6 +65,15 @@ def load_model(path: str, params_template=None) -> Tuple[Config, Any]:
         return x
 
     params = jax.tree_util.tree_map(_promote, params)
+    # Decode-path PERF knobs are runtime decisions, not part of the serialized
+    # model contract: a bundle saved before round 5 carries kv_int8=False /
+    # unroll=1, which would silently pin every loaded model to the slow decode
+    # forever.  Reset them to the current dataclass defaults; callers that
+    # want a specific setting override after load (scripts/ab_int8_suites.py).
+    from .config import DecoderConfig, DecodeConfig
+
+    cfg.decoder.kv_int8 = DecoderConfig.kv_int8
+    cfg.decode.unroll = DecodeConfig.unroll
     return cfg, params
 
 

@@ -81,8 +81,11 @@ class DecoderConfig:
     # head/channel axis, symmetric, scale folded into the matmuls — exact
     # up to the 8-bit rounding).  Scales ride the cache dict as extra
     # "<name>_scale" leaves so beam's gather and the phased growth handle
-    # them generically.
-    kv_int8: bool = False
+    # them generically.  Default ON since round 5: bench.py measured
+    # 219 -> 261 img/s/chip and the trained-checkpoint A/B gate
+    # (AB_INT8_r5.json, n=256) shows identical suite-level accuracy
+    # (canon_smiles/graph/chiral all equal; 86.7% per-sample agreement).
+    kv_int8: bool = True
 
 
 @dataclass

@@ -74,8 +74,20 @@ class TestKVCacheConsistency:
     def test_step_matches_full_forward(self, tiny):
         """Stepwise decode with the static cache must reproduce the
         teacher-forced hidden states exactly (the correctness core of the
-        decode loop)."""
+        decode loop).
+
+        Pins the EXACT (bf16/f32) cache path: kv_int8 is forced off here —
+        the default flipped on in round 5, and the quantized path's
+        step-level agreement has its own tolerance-aware tests in
+        tests/test_kv_int8.py."""
         cfg, tokenizers, model, params, images, refs = tiny
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            cfg, decoder=dataclasses.replace(cfg.decoder, kv_int8=False)
+        )
+        vocab_sizes = {f: len(t) for f, t in tokenizers.items()}
+        model = MolNexTRModel(cfg, vocab_sizes)
         memory = model.apply(params, images, method=MolNexTRModel.encode)
         tok = tokenizers["chartok_coords"]
         # a non-trivial token prefix
