@@ -103,6 +103,11 @@ class DataConfig:
     pseudo_coords: bool = False
     augment: bool = True
     rotate: bool = True
+    # also train on the structured clutter-noise family the perturbed
+    # robustness suite uses (line/bond/symbol noise, borders) — off for the
+    # clean phases, on for the augmentation fine-tune (scripts/
+    # train_druglike.py --image-augment-only)
+    clutter_augment: bool = False
     max_atoms: int = 128  # static pad for edge matrices / atom indices
     # eval-dataset name ("acs"/"uob"/a test_file path): selects the
     # per-dataset transform composition (`dataset.py:165-167`)

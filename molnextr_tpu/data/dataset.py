@@ -65,6 +65,7 @@ class TrainDataset:
         self.split = split
         self.dynamic = dynamic and split == "train"
         augment = cfg.data.augment and split == "train"
+        clutter = cfg.data.clutter_augment and split == "train"
         # every split ships uint8 over the device tunnel (the jitted step
         # and the inference engine normalize on-device,
         # transforms.device_normalize): 4x less transfer + collate memory
@@ -75,6 +76,7 @@ class TrainDataset:
             rotate=augment and cfg.data.rotate,
             dataset=cfg.data.dataset_name,
             normalize=False,
+            clutter=clutter,
         )
         self.formats = [f for f in cfg.data.formats if f != "edges"]
         self.with_edges = "edges" in cfg.data.formats
@@ -89,6 +91,7 @@ class TrainDataset:
             cfg.data.render_cache
             and self.dynamic
             and not augment
+            and not clutter
             and not cfg.data.mol_augment
             and not cfg.data.shuffle_nodes
             and cfg.data.default_style

@@ -539,11 +539,20 @@ def get_transforms(
     pad_to_square: bool = False,
     dataset: Optional[str] = None,
     normalize: bool = True,
+    clutter: bool = False,
 ) -> Compose:
     """Training/eval pipeline composition (`dataset.py:158-185`).
 
     ``normalize=False`` keeps the output uint8 (the training path — the
     jitted step applies :func:`device_normalize` on the TPU instead).
+
+    ``clutter=True`` additionally draws the structured clutter noise the
+    robustness suite perturbs with (line/bond/symbol/incomplete-structure
+    noise + borders, `data_aug.py` clutter family — the reference defines
+    these but never trains with them, `dataset.py:19` imports them unused;
+    we opt them into the augmentation fine-tune phase so the model is not
+    clutter-fragile on the perturbed suite).  Pixel-only: none of these
+    move keypoints.
     """
     trans: List[Transform] = []
     if augment and rotate:
@@ -559,6 +568,23 @@ def get_transforms(
             Blur(p=0.5),
             GaussNoise(p=0.5),
             SaltAndPepperNoise(num_dots=20, p=0.5),
+        ]
+    if clutter:
+        # mirror get_perturbation_transforms' clutter family at train time
+        # (lower p: clean images must stay the majority of the stream).
+        # Independent of ``augment``: the round-5 druglike3 fine-tune showed
+        # the photometric set is DESTRUCTIVE at 192px (Downscale scale_min
+        # 0.2 is calibrated for 384px inputs; at 192px it renders 38px-
+        # effective images — held-out clean fell 0.281→0.133 over 5 epochs,
+        # output/druglike3/metrics.jsonl epochs 39→45) while clutter is what
+        # the perturbed suite actually applies, so the robustness fine-tune
+        # uses clutter WITHOUT the photometric set.
+        trans += [
+            AddLineNoise(p=0.3),
+            AddEdgeElementSymbolNoise(p=0.3),
+            AddBondNoise(p=0.3),
+            AddIncompleteStructuralNoise(p=0.3),
+            DrawBorder(p=0.2),
         ]
     trans.append(Resize(input_size, input_size))
     if not debug:

@@ -8,8 +8,10 @@
 #     done     epoch >= 45 -> touch /tmp/druglike3_alldone
 #   run 2 (output/druglike60k, 60k corpus — round-5 stretch, prebuilt cache):
 #     phase 1  epochs 0-29  clean
-#     phase 2  epochs 30-33 augmentation fine-tune
-#     done     epoch >= 33 -> touch /tmp/druglike60k_alldone, stop
+#     phase 2  epochs 30-31 clutter-only fine-tune (default-style renders +
+#              the perturbed suite's clutter family; the photometric recipe
+#              measurably hurt at 192px — see scripts/train_druglike.py)
+#     done     epoch >= 31 -> touch /tmp/druglike60k_alldone, stop
 #
 # Coordination with bench.py (VERDICT r4 weak #1): bench.py writes
 # /tmp/bench_hold while it owns the chip (after SIGTERMing any trainer whose
@@ -112,15 +114,18 @@ while true; do
         fi
       else
         EP=$(last_epoch output/druglike60k | tail -1)
-        if [ "$EP" -ge 33 ] 2>/dev/null; then
+        if [ "$EP" -ge 31 ] 2>/dev/null; then
           echo "$(date): 60k phases done (epoch $EP)" >> /tmp/relay_watch.log
           touch /tmp/druglike60k_alldone
           continue
         fi
         if [ "$EP" -ge 29 ] 2>/dev/null; then
-          PHASE="60k-aug-finetune"
-          ARGS="--corpus 60000 --valid 384 --epochs 34 --batch-size 128 \
-            --image-augment-only --eval-every 2 --save-path output/druglike60k \
+          # 2 clutter fine-tune epochs (not 4): without the whole-item cache
+          # a 60k epoch is ~40 min of host transform work, and 120k clutter
+          # images is already 3x the 20k run's total exposure
+          PHASE="60k-clutter-finetune"
+          ARGS="--corpus 60000 --valid 384 --epochs 32 --batch-size 128 \
+            --image-augment-only --eval-every 1 --save-path output/druglike60k \
             --resume last --dispatch 12"
         else
           PHASE="60k-clean"

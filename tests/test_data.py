@@ -324,3 +324,41 @@ class TestResizePadAndConditional:
         assert any(isinstance(t, PadToSquare) for t in tf.transforms)
         tf2 = get_transforms(64, augment=False, dataset="real/uspto.csv")
         assert not any(isinstance(t, PadToSquare) for t in tf2.transforms)
+
+    def test_clutter_augment_composition(self):
+        """clutter=True appends the perturbed-suite noise family at train
+        time (pixel-only, keypoints untouched) and stays OFF by default."""
+        from molnextr_tpu.data.transforms import (
+            AddBondNoise,
+            AddLineNoise,
+            get_transforms,
+        )
+
+        base = get_transforms(64, augment=True, normalize=False)
+        assert not any(isinstance(t, AddLineNoise) for t in base.transforms)
+        tf = get_transforms(64, augment=True, normalize=False, clutter=True)
+        assert any(isinstance(t, AddLineNoise) for t in tf.transforms)
+        assert any(isinstance(t, AddBondNoise) for t in tf.transforms)
+        # the clutter fine-tune runs clutter WITHOUT the photometric set
+        from molnextr_tpu.data.transforms import Downscale
+
+        tf_only = get_transforms(64, augment=False, normalize=False,
+                                 clutter=True)
+        assert any(isinstance(t, AddLineNoise) for t in tf_only.transforms)
+        assert not any(isinstance(t, Downscale) for t in tf_only.transforms)
+
+        # clutter transforms are pixel-only: force p=1 on each and check
+        # keypoints ride through a 2-point set unchanged
+        import random
+
+        import numpy as np
+
+        random.seed(0)
+        img = np.full((80, 80, 3), 255, np.uint8)
+        kps = np.asarray([[10.0, 20.0], [60.0, 70.0]], np.float32)
+        for t in tf.transforms:
+            if type(t).__name__.startswith(("Add", "Draw")):
+                out_img, out_kps = t.apply(img, kps)
+                assert out_img.shape == img.shape
+                assert out_img.dtype == np.uint8
+                np.testing.assert_allclose(out_kps, kps)
