@@ -11,7 +11,13 @@
 #     phase 2  epochs 30-31 clutter-only fine-tune (default-style renders +
 #              the perturbed suite's clutter family; the photometric recipe
 #              measurably hurt at 192px — see scripts/train_druglike.py)
-#     done     epoch >= 31 -> touch /tmp/druglike60k_alldone, stop
+#     phase 3  epochs 32-43 extended mixed clean+clutter training at a
+#              warm-restart LR (the 2-epoch phase-2 ran at end-of-cosine LR
+#              ~0 and moved perturbed only 2.0% -> 8.2%; rebuilding the
+#              schedule with --epochs 44 resumes at ~73% through a longer
+#              cosine, i.e. a real LR, on the p=0.3 clutter stream whose
+#              images are still majority-clean-ink)
+#     done     epoch >= 43 -> touch /tmp/druglike60k_alldone, stop
 #
 # Coordination with bench.py (VERDICT r4 weak #1): bench.py writes
 # /tmp/bench_hold while it owns the chip (after SIGTERMing any trainer whose
@@ -114,18 +120,18 @@ while true; do
         fi
       else
         EP=$(last_epoch output/druglike60k | tail -1)
-        if [ "$EP" -ge 31 ] 2>/dev/null; then
+        if [ "$EP" -ge 43 ] 2>/dev/null; then
           echo "$(date): 60k phases done (epoch $EP)" >> /tmp/relay_watch.log
           touch /tmp/druglike60k_alldone
           continue
         fi
         if [ "$EP" -ge 29 ] 2>/dev/null; then
-          # 2 clutter fine-tune epochs (not 4): without the whole-item cache
-          # a 60k epoch is ~40 min of host transform work, and 120k clutter
-          # images is already 3x the 20k run's total exposure
-          PHASE="60k-clutter-finetune"
-          ARGS="--corpus 60000 --valid 384 --epochs 32 --batch-size 128 \
-            --image-augment-only --eval-every 1 --save-path output/druglike60k \
+          # phase 3 (subsumes the old 2-epoch phase 2): mixed clean+clutter
+          # at a warm-restart LR — rebuilding the cosine with --epochs 44
+          # puts the resumed step at ~73% of the schedule instead of 99%
+          PHASE="60k-mixed-extended"
+          ARGS="--corpus 60000 --valid 384 --epochs 44 --batch-size 128 \
+            --image-augment-only --eval-every 2 --save-path output/druglike60k \
             --resume last --dispatch 12"
         else
           PHASE="60k-clean"
