@@ -141,6 +141,23 @@ class MolNexTR:
             images=input_images, num_workers=self.num_workers,
         )
 
+        if self.cfg.decode.rerank == "roundtrip":
+            # round-trip verification (rerank.py): candidates are the graph
+            # view (rank 0, assembly-corrected), the raw token view, and any
+            # beam n-best strings; a challenger replaces rank 0 only when
+            # its re-render CONFIDENTLY matches the input ink, so images
+            # where the views agree — or where the compare frame is broken
+            # (clutter, foreign renderer) — are untouched.
+            from molnextr_tpu.rerank import roundtrip_rerank, smiles_to_molblock
+
+            for i, pred in enumerate(predictions):
+                cands = [smiles_list[i], pred[fmt]["smiles"]]
+                cands += [b["smiles"] for b in pred.get("beams", [])]
+                winner, _ = roundtrip_rerank(input_images[i], cands)
+                if winner is not None:
+                    smiles_list[i] = winner
+                    molblock_list[i] = smiles_to_molblock(winner)
+
         outputs: List[Dict[str, Any]] = []
         for smiles, molfile, pred in zip(smiles_list, molblock_list, predictions):
             d: Dict[str, Any] = {

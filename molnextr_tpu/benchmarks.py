@@ -219,23 +219,34 @@ def run_all(
     eval_csvs: Optional[Sequence[str]] = None,
     n: int = 32,
     equal_n: bool = False,
+    rerank: bool = False,
+    beam_size: int = 2,
 ) -> List[Dict[str, Any]]:
     """``n`` scales the accuracy suites; at n=32 one image is ±3% so real
     claims need n>=256 (the reference evaluates whole CSVs,
     `evaluate.py:198-218`).  By default beam runs at n/4 (beam-2 decodes
     4x slower) and dataset/perturbed at n/2; ``equal_n`` forces the full
-    ``n`` everywhere so the suites are statistically comparable."""
+    ``n`` everywhere so the suites are statistically comparable.
+
+    ``rerank`` turns on round-trip candidate verification (rerank.py) for
+    every accuracy suite; the beam suite then also surfaces its n-best
+    list as rerank candidates (n_best = beam_size)."""
     import copy
     import os
 
     cfg = cfg or Config()
+    if rerank:
+        cfg = copy.deepcopy(cfg)
+        cfg.decode.rerank = "roundtrip"
     model = _engine(cfg, params)
     report = []
     if os.path.exists(image_path):
         report.append(suite_single_image(model, image_path))
     report.append(suite_batch_inference(cfg, model, n=n))
     cfg_beam = copy.deepcopy(cfg)
-    cfg_beam.decode.beam_size = 2
+    cfg_beam.decode.beam_size = beam_size
+    if rerank:
+        cfg_beam.decode.n_best = beam_size
     n_beam = n if equal_n else max(n // 4, 8)
     n_half = n if equal_n else max(n // 2, 16)
     report.append(
@@ -266,6 +277,13 @@ def main(argv=None):
         help="run every accuracy suite at the full --n (no beam/perturbed "
              "divisors) so cross-suite comparisons share statistics",
     )
+    p.add_argument(
+        "--rerank", action="store_true",
+        help="round-trip candidate verification (re-render + ink-IoU, "
+             "rerank.py) on every accuracy suite",
+    )
+    p.add_argument("--beam_size", type=int, default=2,
+                   help="beam width for the beam suite")
     args = p.parse_args(argv)
     params = None
     if args.model_path:
@@ -279,7 +297,8 @@ def main(argv=None):
     else:
         cfg = Config()
     report = run_all(cfg, params, eval_csvs=args.eval_csv, n=args.n,
-                     equal_n=args.equal_n)
+                     equal_n=args.equal_n, rerank=args.rerank,
+                     beam_size=args.beam_size)
     text = json.dumps(report, indent=2, default=float)
     if args.output:
         with open(args.output, "w") as f:

@@ -74,6 +74,7 @@ def load_model(path: str, params_template=None) -> Tuple[Config, Any]:
 
     cfg.decoder.kv_int8 = DecoderConfig.kv_int8
     cfg.decode.unroll = DecodeConfig.unroll
+    cfg.decode.rerank = DecodeConfig.rerank
     return cfg, params
 
 

@@ -176,6 +176,11 @@ class DecodeConfig:
     # 2 -> 1.319, 4 -> 1.309; the decode is HBM-bound on the cross-attn
     # cache read, so unrolling is worth only ~2% — 4 is the measured best.
     unroll: int = 4
+    # "roundtrip" re-renders each candidate (graph view, token view, beam
+    # n-best) with the in-repo renderer and keeps the best ink-IoU match
+    # against the input image (see rerank.py — measured oracle headroom
+    # +6pt at beam 4).  Host-side, opt-in, off by default.
+    rerank: Optional[str] = None
 
 
 @dataclass
