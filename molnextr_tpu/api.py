@@ -179,7 +179,10 @@ class MolNexTR:
                     atom_list.append(ad)
                 d["atom_sets"] = atom_list
                 bond_list = []
-                n = len(symbols)
+                # the edge head scores at most k = min(len(indices), max_atoms)
+                # atoms (inference.py:207-209); a malformed decode can emit
+                # more symbols than scored atoms — bound by the matrix.
+                n = min(len(symbols), len(pred.get("edges", [])))
                 for i in range(n - 1):
                     for j in range(i + 1, n):
                         bt = int(pred["edges"][i][j])

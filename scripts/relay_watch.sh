@@ -97,6 +97,24 @@ while true; do
       sleep 20
       continue
     fi
+    # Wedged-connection watchdog (seen Aug 19: port UP, trainer alive, but
+    # its axon connection died silently — main thread futex-waits forever
+    # and the log goes quiet).  10 min of log silence safely exceeds the
+    # longest legitimate quiet window (first compile ~4 min, eval ~1 min).
+    if [ -n "$ALIVE" ]; then
+      LOG=$(ls -t /tmp/druglike3_auto*.log 2>/dev/null | head -1)
+      if [ -n "$LOG" ]; then
+        AGE=$(( $(date +%s) - $(stat -c %Y "$LOG") ))
+        if [ "$AGE" -gt 600 ]; then
+          echo "$(date): trainer pid $PID wedged (log silent ${AGE}s, relay up) — killing" >> /tmp/relay_watch.log
+          kill "$PID" 2>/dev/null
+          sleep 5
+          kill -9 "$PID" 2>/dev/null
+          rm -f /tmp/druglike3.pid
+          ALIVE=""
+        fi
+      fi
+    fi
     if [ -z "$ALIVE" ] && [ ! -f /tmp/druglike60k_alldone ]; then
       premeasure
       bench_hold_active && continue

@@ -45,6 +45,34 @@ class TestMolNexTR:
         for a in out["atom_sets"]:
             assert "confidence" in a
 
+    def test_bond_sets_bounded_by_edge_matrix(self, tiny_model, monkeypatch):
+        """Regression: a malformed decode can emit more symbols than the
+        edge head scored (k x k with k < len(symbols)); bond-dict assembly
+        must bound the pair loop by the matrix, not the symbol list."""
+        fmt = tiny_model.engine.fmt
+        fake = {
+            fmt: {
+                "smiles": "CCO",
+                "coords": [(0.1, 0.1), (0.5, 0.5), (0.9, 0.9)],
+                "symbols": ["C", "C", "O"],
+                "atom_scores": [1.0, 1.0, 1.0],
+            },
+            "edges": [[0, 1], [1, 0]],  # only 2 atoms scored
+            "edge_scores": [[1.0, 1.0], [1.0, 1.0]],
+            "overall_score": 1.0,
+        }
+        monkeypatch.setattr(
+            tiny_model.engine,
+            "predict_images",
+            lambda batch, compute_confidence=False: [dict(fake)] * len(batch),
+        )
+        img = (np.random.rand(48, 48, 3) * 255).astype(np.uint8)
+        out = tiny_model.predict_image(img, return_atoms_bonds=True)
+        assert len(out["atom_sets"]) == 3
+        for b in out["bond_sets"]:
+            i, j = b["endpoints"]
+            assert i < 2 and j < 2
+
 
 class TestCheckpointRoundtrip:
     def test_save_load(self, tiny_model, tmp_path):
